@@ -8,8 +8,10 @@ multi-chip path; benchmarks run on the real chip).
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  The environment's
+# sitecustomize pins JAX_PLATFORMS=axon (the TPU tunnel); tests must run on
+# a virtual 8-device CPU mesh, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's sitecustomize imports jax during interpreter startup, so
+# the env var alone is captured too late; force the platform via the config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
