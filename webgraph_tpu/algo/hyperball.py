@@ -1,0 +1,189 @@
+"""HyperBall — approximate neighbourhood function via HyperLogLog counters.
+
+TPU-native re-design of HyperBall (reference HyperBall.java:217-1130): the
+reference keeps a big packed register array updated by a thread team with
+broadword max-merges over arc-balanced task chunks; here the counter array
+is a dense (n, 2^log2m) uint8 register matrix on device and one iteration is
+a single edge-parallel ``segment_max``: c'[x] = max(c[x], max over
+successors c[y]) — the natural TPU formulation of the same broadword merge.
+
+Per-iteration outputs mirror the reference: the neighbourhood function
+estimate, the number of modified counters (stopping criterion), and the
+discounted centrality accumulators (sum of distances / sum of inverse
+distances, HyperBall.java main options), accumulated from per-node count
+deltas.
+
+The hash is splitmix64 (documented: the Java reference uses its own jenkins
+hash, so *estimates* differ across implementations while statistical
+guarantees match; bit-exactness here means parallel == sequential oracle,
+the reference's own test discipline, HyperBallTest.java:63-74).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph import CSRGraph
+
+__all__ = ["HyperBall", "hyperloglog_init", "estimate_counts",
+           "sequential_hyperball"]
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = x
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return z ^ (z >> np.uint64(31))
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hyperloglog_init(n: int, log2m: int, seed: int = 0) -> np.ndarray:
+    """Initial registers: each node's counter contains only itself
+    (HyperBall.init :571).  Returns uint8 (n, 2^log2m)."""
+    m = 1 << log2m
+    regs = np.zeros((n, m), dtype=np.uint8)
+    h = _splitmix64(np.arange(n, dtype=np.uint64)
+                    + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    j = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(log2m)
+    # rho = trailing zeros of w + 1 (capped)
+    rho = np.ones(n, dtype=np.uint8)
+    ww = w.copy()
+    zero_mask = ww == 0
+    rho_v = np.zeros(n, dtype=np.int64)
+    ww_nonzero = np.where(zero_mask, np.uint64(1), ww)
+    # count trailing zeros via bit tricks
+    tz = np.zeros(n, dtype=np.int64)
+    v = ww_nonzero.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = (v & ((np.uint64(1) << np.uint64(shift)) - np.uint64(1))) == 0
+        tz = np.where(mask, tz + shift, tz)
+        v = np.where(mask, v >> np.uint64(shift), v)
+    rho_v = np.where(zero_mask, 64 - log2m, tz) + 1
+    regs[np.arange(n), j] = rho_v.astype(np.uint8)
+    return regs
+
+
+def estimate_counts(regs: np.ndarray) -> np.ndarray:
+    """Per-node HLL cardinality estimates with small-range correction."""
+    regs = np.asarray(regs)
+    m = regs.shape[1]
+    est = _alpha(m) * m * m / np.sum(
+        np.exp2(-regs.astype(np.float64)), axis=1)
+    zeros = np.sum(regs == 0, axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1e-300))
+    return np.where(small, lin, est)
+
+
+@jax.jit
+def _hb_round(arc_src, arc_tgt, regs):
+    """One HyperBall iteration: register max-merge over all arcs."""
+    gathered = jnp.take(regs, arc_tgt, axis=0)          # (m_arcs, R)
+    merged = jax.ops.segment_max(
+        gathered, arc_src, num_segments=regs.shape[0],
+        indices_are_sorted=True)
+    merged = jnp.maximum(regs, merged.astype(regs.dtype))
+    return merged
+
+
+class HyperBall:
+    """Iterative neighbourhood-function computation (HyperBall.run)."""
+
+    def __init__(self, g: CSRGraph, log2m: int = 6, seed: int = 0,
+                 do_sum_of_distances: bool = False,
+                 do_sum_of_inverse_distances: bool = False):
+        self.g = g
+        self.log2m = log2m
+        self.seed = seed
+        n = g.num_nodes
+        src, tgt = g.arcs()
+        self._src = jnp.asarray(src, dtype=jnp.int32)
+        self._tgt = jnp.asarray(tgt, dtype=jnp.int32)
+        self.regs = jnp.asarray(hyperloglog_init(n, log2m, seed))
+        self._counts = estimate_counts(np.asarray(self.regs))
+        self.neighbourhood_function: List[float] = [float(n)]
+        self.modified = n
+        self.iteration = 0
+        self.sum_of_distances = (np.zeros(n) if do_sum_of_distances else None)
+        self.sum_of_inverse_distances = (
+            np.zeros(n) if do_sum_of_inverse_distances else None)
+
+    def iterate(self) -> int:
+        """One iteration; returns the number of modified counters
+        (HyperBall.iterate :1000)."""
+        new = _hb_round(self._src, self._tgt, self.regs)
+        changed = bool_changed = np.asarray(
+            jnp.any(new != self.regs, axis=1))
+        self.modified = int(bool_changed.sum())
+        self.regs = new
+        self.iteration += 1
+        new_counts = estimate_counts(np.asarray(self.regs))
+        delta = np.maximum(new_counts - self._counts, 0.0)
+        t = self.iteration
+        if self.sum_of_distances is not None:
+            self.sum_of_distances += t * delta
+        if self.sum_of_inverse_distances is not None:
+            self.sum_of_inverse_distances += delta / t
+        self._counts = new_counts
+        self.neighbourhood_function.append(float(new_counts.sum()))
+        return self.modified
+
+    def run(self, upper_bound: int = -1, threshold: float = -1.0
+            ) -> List[float]:
+        """Iterate until no counter changes, the NF stabilizes below
+        ``threshold`` relative change, or ``upper_bound`` iterations."""
+        if upper_bound < 0:
+            upper_bound = self.g.num_nodes
+        while self.iteration < upper_bound:
+            self.iterate()
+            if self.modified == 0:
+                break
+            if threshold >= 0 and len(self.neighbourhood_function) >= 2:
+                a, b = self.neighbourhood_function[-2:]
+                if a != 0 and abs(b - a) / a < threshold:
+                    break
+        return self.neighbourhood_function
+
+    def reachable_counts(self) -> np.ndarray:
+        """Per-node reachable-set size estimates."""
+        return self._counts.copy()
+
+
+def sequential_hyperball(g: CSRGraph, log2m: int = 6, seed: int = 0,
+                         iterations: int = -1) -> np.ndarray:
+    """Scalar oracle: same registers, computed node by node in Python
+    (the analogue of test SequentialHyperBall, SURVEY §4.4).  Returns the
+    final register matrix for register-exact comparison."""
+    n = g.num_nodes
+    regs = hyperloglog_init(n, log2m, seed)
+    if iterations < 0:
+        iterations = n
+    for _ in range(iterations):
+        new = regs.copy()
+        for x in range(n):
+            succ = g.successors(x)
+            if len(succ):
+                new[x] = np.maximum(new[x], regs[succ].max(axis=0))
+        if np.array_equal(new, regs):
+            break
+        regs = new
+    return regs

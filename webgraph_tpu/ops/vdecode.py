@@ -519,6 +519,16 @@ def _kept_ranges(blocks, bc, ref_len, K: int):
     return kstart, klen, kcum
 
 
+def _g(table, idx, **kw):
+    """Gather wrapped in an optimization barrier.
+
+    XLA TPU loop-fuses gathers into their elementwise consumers, which
+    serializes them (observed ~60 ms per fused gather over 3.2M slots vs
+    ~50 us for a dedicated gather kernel).  The barrier forces a
+    standalone gather op."""
+    return jax.lax.optimization_barrier(jnp.take(table, idx, **kw))
+
+
 @functools.partial(jax.jit, static_argnames=("K",), donate_argnums=(0,))
 def _resolve_depth(out, t, csr_off, row_of_slot, refs, copied_arr,
                    kstart, klen, kcum, depth, K: int):
@@ -527,10 +537,10 @@ def _resolve_depth(out, t, csr_off, row_of_slot, refs, copied_arr,
     m = out.shape[0] - 1
     slots = jnp.arange(m, dtype=jnp.int32)
     x = row_of_slot
-    j = (slots - jnp.take(csr_off, x).astype(jnp.int32))
-    r = jnp.take(refs, x)
-    cop = jnp.take(copied_arr, x)
-    dep = jnp.take(depth, x)
+    j = (slots - _g(csr_off, x).astype(jnp.int32))
+    r = _g(refs, x)
+    cop = _g(copied_arr, x)
+    dep = _g(depth, x)
     active = (dep == t) & (r > 0) & (j < cop)
 
     # locate the keep-range holding output position j:  the last k with
@@ -539,16 +549,16 @@ def _resolve_depth(out, t, csr_off, row_of_slot, refs, copied_arr,
     kk = jnp.zeros_like(j)
     base = x  # row index into (N1, K) arrays
     for k in range(K):
-        c = jnp.take(kcum[:, k], base)
-        l = jnp.take(klen[:, k], base)
+        c = _g(kcum[:, k], base)
+        l = _g(klen[:, k], base)
         kk = jnp.where((c <= j) & ((l > 0) | (k == 0)), k, kk)
-    ks = jnp.take(kstart.reshape(-1), base * K + kk)
-    kc = jnp.take(kcum.reshape(-1), base * K + kk)
+    ks = _g(kstart.reshape(-1), base * K + kk)
+    kc = _g(kcum.reshape(-1), base * K + kk)
     p = ks + j - kc
-    src = (jnp.take(csr_off, jnp.where(r > 0, x - r, x)).astype(jnp.int32) + p)
-    val = jnp.take(out, jnp.where(active, src, 0), mode="clip")
+    src = (_g(csr_off, jnp.where(r > 0, x - r, x)).astype(jnp.int32) + p)
+    val = _g(out, jnp.where(active, src, 0), mode="clip")
     out = out.at[jnp.where(active, slots, m)].set(
-        jnp.where(active, val, 0), mode="drop")
+        jnp.where(active, val, 0), mode="drop", unique_indices=True)
 
     # rows completed at depth <= t sort by value; unfinished rows keep order
     finished = dep <= t
