@@ -1,0 +1,106 @@
+"""Native host runtime bindings (ctypes over libwgnative.so).
+
+Falls back gracefully when the shared library has not been built; callers
+test :func:`available` and use the Python oracle otherwise.  Build with
+``make -C webgraph_tpu/native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["available", "decode_offset_stream", "decode_outdegrees",
+           "bv_decode_all", "build"]
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libwgnative.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load():
+    global _lib
+    if _lib is None and os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.wg_decode_offset_stream.restype = ctypes.c_int
+        lib.wg_decode_outdegrees.restype = ctypes.c_int
+        lib.wg_bv_decode_all.restype = ctypes.c_int64
+        _lib = lib
+    return _lib
+
+
+def build() -> bool:
+    """Compile the shared library in place (idempotent)."""
+    try:
+        subprocess.run(["make", "-C", os.path.dirname(__file__)],
+                       check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    return _load() is not None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, t=ctypes.c_uint8):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def _padded(data: np.ndarray) -> np.ndarray:
+    """Contiguous uint8 copy with 16 zero guard bytes (unaligned loads)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    return np.concatenate([data, np.zeros(16, dtype=np.uint8)])
+
+
+def decode_offset_stream(data: np.ndarray, n: int, coding: int) -> np.ndarray:
+    """(n+1)-entry gamma/delta gap stream -> absolute bit offsets."""
+    lib = _load()
+    data = _padded(data)
+    out = np.empty(n + 1, dtype=np.int64)
+    rc = lib.wg_decode_offset_stream(
+        _ptr(data), ctypes.c_int64(len(data) - 16), ctypes.c_int64(n + 1),
+        ctypes.c_int(coding), _ptr(out, ctypes.c_int64))
+    assert rc == 0
+    return out
+
+
+def decode_outdegrees(data: np.ndarray, offsets: np.ndarray,
+                      coding: int) -> np.ndarray:
+    lib = _load()
+    data = _padded(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    out = np.empty(n, dtype=np.int64)
+    rc = lib.wg_decode_outdegrees(
+        _ptr(data), ctypes.c_int64(len(data) - 16),
+        _ptr(offsets, ctypes.c_int64), ctypes.c_int64(n),
+        ctypes.c_int(coding), _ptr(out, ctypes.c_int64))
+    assert rc == 0
+    return out
+
+
+def bv_decode_all(data: np.ndarray, n: int, m: int, settings) -> tuple:
+    """Full sequential decode -> (csr_off int64[n+1], succ int64[m])."""
+    lib = _load()
+    data = _padded(data)
+    csr_off = np.empty(n + 1, dtype=np.int64)
+    succ = np.empty(max(m, 1), dtype=np.int64)
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding], dtype=np.int32)
+    wrote = lib.wg_bv_decode_all(
+        _ptr(data), ctypes.c_int64(len(data) - 16), ctypes.c_int64(n),
+        ctypes.c_int(settings.window_size),
+        ctypes.c_int(settings.min_interval_length),
+        ctypes.c_int(settings.zeta_k),
+        _ptr(codings, ctypes.c_int), _ptr(csr_off, ctypes.c_int64),
+        _ptr(succ, ctypes.c_int64), ctypes.c_int64(len(succ)))
+    if wrote < 0:
+        raise RuntimeError(f"native decode failed: {wrote}")
+    return csr_off, succ[:wrote]

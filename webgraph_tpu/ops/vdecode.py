@@ -127,29 +127,29 @@ def _window64(words, pos):
     return hi, lo
 
 
+#: unary codes longer than this many bits are not decodable by the
+#: vectorized readers (no real coding configuration produces them except
+#: Golomb quotients of adversarial values); the scalar oracle has no limit.
+MAX_UNARY_BITS = 64 * 4
+
+
 def _read_unary(words, pos, active):
-    """Leading-zero count from ``pos`` for ``active`` lanes (arbitrary
-    length; runs beyond 64 bits are rare).  Inactive lanes return 0 and do
-    not extend the scan (their positions may point at stream padding)."""
+    """Leading-zero count from ``pos`` for ``active`` lanes.
+
+    Scans up to MAX_UNARY_BITS via an UNROLLED sequence of 64-bit windows —
+    never a device loop: on this TPU runtime a gather inside a
+    while_loop/cond body is ~1000x slower and permanently degrades the
+    process (see vparse2._machine)."""
     hi, lo = _window64(words, pos)
-    u0 = jnp.where(hi != 0, _clz(hi), 32 + _clz(lo))
-    pend0 = active & (hi == 0) & (lo == 0)
-    u0 = jnp.where(active, jnp.where(pend0, 64, u0), 0)
-    max_bits = jnp.int32(words.shape[0] * 32)
-
-    def cond(c):
-        return jnp.any(c[1])
-
-    def body(c):
-        u, pend = c
-        hi2, lo2 = _window64(words, pos + u)
+    u = jnp.where(hi != 0, _clz(hi), 32 + _clz(lo))
+    pend = active & (hi == 0) & (lo == 0)
+    u = jnp.where(active, jnp.where(pend, 64, u), 0)
+    for _ in range(MAX_UNARY_BITS // 64 - 1):
+        hi2, lo2 = _window64(words, jnp.where(pend, pos + u, pos))
         nz = (hi2 != 0) | (lo2 != 0)
         add = jnp.where(hi2 != 0, _clz(hi2), 32 + _clz(lo2))
         u = jnp.where(pend, u + jnp.where(nz, add, 64), u)
-        # corrupt-stream guard: stop at the end of the padded word array
-        return u, pend & ~nz & (pos + u < max_bits)
-
-    u, _ = jax.lax.while_loop(cond, body, (u0, pend0))
+        pend = pend & ~nz
     return u
 
 
@@ -471,24 +471,24 @@ def _parse(words, xs_stack, outd, csr_off, out, cfg: ParseConfig):
 
 
 @jax.jit
+def _depth_round(refs, parent, depth):
+    return jnp.where(refs > 0, jnp.take(depth, parent, mode="clip") + 1, 0)
+
+
 def _depths(refs):
-    """Chain depth per node: 0 where ref<=0, else depth[x - ref] + 1
-    (iterated; chains are bounded by maxRefCount at encode time)."""
+    """Chain depth per node: 0 where ref<=0, else depth[x - ref] + 1.
+
+    Host-driven iteration (converges in maxRefCount rounds; gathers must
+    stay out of device loops on this runtime)."""
     n = refs.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     parent = jnp.where(refs > 0, idx - refs, idx)
-
-    def cond(c):
-        return c[2] & (c[1] < 256)
-
-    def body(c):
-        depth, hop, _ = c
-        nd = jnp.where(refs > 0, jnp.take(depth, parent, mode="clip") + 1, 0)
-        return nd, hop + 1, jnp.any(nd != depth)
-
-    depth0 = jnp.where(refs > 0, 1, 0).astype(jnp.int32)
-    depth, _, _ = jax.lax.while_loop(
-        cond, body, (depth0, jnp.int32(0), jnp.bool_(True)))
+    depth = jnp.where(refs > 0, 1, 0).astype(jnp.int32)
+    for _ in range(256):
+        nd = _depth_round(refs, parent, depth)
+        if bool(jnp.all(nd == depth)):
+            break
+        depth = nd
     return depth
 
 

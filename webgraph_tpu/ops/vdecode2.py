@@ -14,7 +14,7 @@ import numpy as np
 
 from . import vdecode as V1
 from .packed import pack_words_u32
-from .vparse2 import parse_v2, pass05
+from .vparse2 import pass05, run_parse
 
 __all__ = ["decode_to_csr"]
 
@@ -71,8 +71,7 @@ def decode_to_csr(data, offsets, cfg: V1.ParseConfig, bvgraph=None,
 
     blocks_off = m + 1
     big = jnp.zeros(m + 1 + (n + 1) * MB, dtype=jnp.int32)
-    big = parse_v2(words, jnp.asarray(meta), big,
-                   jnp.int32(n_q), jnp.int32(blocks_off), cfg)
+    big = run_parse(words, jnp.asarray(meta), big, n_q, blocks_off, cfg)
     out = big[:m + 1]
     blocks = big[m + 1:].reshape(n + 1, MB)
 

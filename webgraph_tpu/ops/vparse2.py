@@ -75,8 +75,12 @@ def _clz64(hi, lo):
 
 
 def _win_unary(win, off, active):
-    """Unary code read from the window.  Returns (u, ok): ok=False when the
-    run may extend beyond 128 scanned bits (caller falls back)."""
+    """Unary scan over the first 128 window bits after ``off``.
+
+    Returns (u, found): found=False when no terminator was seen within the
+    scanned bits; the caller then consumes the scanned zeros in-register and
+    retries next step (NO nested control flow: nested while/cond programs
+    poison the TPU runtime into a permanently slow dispatch mode)."""
     hi, lo = _win64(win, off)
     u = _clz64(hi, lo)
     allz = (hi == 0) & (lo == 0)
@@ -84,8 +88,8 @@ def _win_unary(win, off, active):
     u2 = 64 + _clz64(hi2, lo2)
     allz2 = allz & (hi2 == 0) & (lo2 == 0)
     u = jnp.where(allz, u2, u)
-    ok = active & ~allz2
-    return jnp.where(active, u, 0), ok
+    found = active & ~allz2
+    return jnp.where(active, u, 0), found
 
 
 def _win_bits(win, off, nbits):
@@ -101,20 +105,31 @@ def _shl1(n):
     return (jnp.uint32(1) << _u32(jnp.clip(n, 0, 31))).astype(jnp.int32)
 
 
-def _win_code(win, off, kind, cfg: ParseConfig, kinds_used, active):
+def _win_code(win, off, kind, cfg: ParseConfig, kinds_used, active,
+              u_acc=None):
     """Decode one code of per-lane ``kind`` from window registers.
 
-    Returns (value, length, ok).  ok=False => lane could not complete the
-    read in-window (long unary); caller must retry via the slow path.
+    Returns (value, length, ok).  For ~ok lanes, ``length`` is the number of
+    leading-zero bits that may be consumed now (the lane stays in its state,
+    adds them to its unary accumulator ``u_acc``, and finishes the code in a
+    later step) — long codes never need nested control flow.
     """
     unary_kinds = {K_UNARY, K_GAMMA, K_DELTA, K_ZETA, K_GOLOMB}
     act_unary = jnp.zeros_like(active)
     for k in set(kinds_used) & unary_kinds:
         act_unary = act_unary | (kind == k)
     act_unary = act_unary & active
-    u, uok = _win_unary(win, off, act_unary)
-    ok = jnp.where(act_unary, uok, active)
-    body = off + u + 1
+    u_win, found = _win_unary(win, off, act_unary)
+    # the code must fully fit: terminator + <= 63 value bits in the window
+    fits = found & (off + u_win <= 192)
+    ok = jnp.where(act_unary, fits, active)
+    if u_acc is not None:
+        u = jnp.where(act_unary, u_acc + u_win, u_win)
+    else:
+        u = u_win
+    # bits consumable by stuck lanes: zeros seen, capped (never the 1-bit)
+    zskip = jnp.minimum(jnp.where(found, u_win, 128), 128)
+    body = off + u_win + 1
 
     value = jnp.zeros_like(off)
     ln = jnp.zeros_like(off)
@@ -122,19 +137,19 @@ def _win_code(win, off, kind, cfg: ParseConfig, kinds_used, active):
     if K_UNARY in kinds_used:
         m = kind == K_UNARY
         value = jnp.where(m, u, value)
-        ln = jnp.where(m, u + 1, ln)
+        ln = jnp.where(m, u_win + 1, ln)
     if K_GAMMA in kinds_used:
         m = kind == K_GAMMA
         bits = _win_bits(win, body, jnp.where(m, u, 0))
         value = jnp.where(m, (_shl1(u) | bits) - 1, value)
-        ln = jnp.where(m, 2 * u + 1, ln)
+        ln = jnp.where(m, u_win + u + 1, ln)
     if K_DELTA in kinds_used:
         m = kind == K_DELTA
         mant = _win_bits(win, body, jnp.where(m, u, 0))
         e = (_shl1(u) | mant) - 1
         bits2 = _win_bits(win, body + u, jnp.where(m, e, 0))
         value = jnp.where(m, (_shl1(e) | bits2) - 1, value)
-        ln = jnp.where(m, u + 1 + u + e, ln)
+        ln = jnp.where(m, u_win + 1 + u + e, ln)
     if K_ZETA in kinds_used:
         k = cfg.zeta_k
         m = kind == K_ZETA
@@ -145,7 +160,7 @@ def _win_code(win, off, kind, cfg: ParseConfig, kinds_used, active):
         extra = _win_bits(win, body + l1, jnp.where(m & ~short, 1, 0))
         value = jnp.where(m, jnp.where(short, bits + left - 1,
                                        (bits << 1) + extra - 1), value)
-        ln = jnp.where(m, u + 1 + l1 + jnp.where(short, 0, 1), ln)
+        ln = jnp.where(m, u_win + 1 + l1 + jnp.where(short, 0, 1), ln)
     if K_GOLOMB in kinds_used:
         b = cfg.zeta_k
         s = max(b.bit_length() - 1, 0)
@@ -156,7 +171,7 @@ def _win_code(win, off, kind, cfg: ParseConfig, kinds_used, active):
         extra = _win_bits(win, body + s, jnp.where(m & ~short, 1, 0))
         r = jnp.where(short, bits, (bits << 1) + extra - mshort)
         value = jnp.where(m, u * b + r, value)
-        ln = jnp.where(m, u + 1 + s + jnp.where(short, 0, 1), ln)
+        ln = jnp.where(m, u_win + 1 + s + jnp.where(short, 0, 1), ln)
     if K_NIBBLE in kinds_used:
         m = kind == K_NIBBLE
         acc = jnp.zeros_like(off)
@@ -171,6 +186,7 @@ def _win_code(win, off, kind, cfg: ParseConfig, kinds_used, active):
         value = jnp.where(m, acc, value)
         ln = jnp.where(m, p - off, ln)
 
+    ln = jnp.where(ok, ln, zskip)
     return value, ln, ok
 
 
@@ -217,15 +233,19 @@ def _state_kind_table_v2(cfg: ParseConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",),
-                   donate_argnums=(2,))
-def parse_v2(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig):
-    """Run the virtual-lane state machine over the node queue.
+def _machine(words, meta, big_out, n_queue, blocks_off, regs,
+             cfg: ParseConfig):
+    """Advance the virtual-lane state machine by ``unroll`` steps.
 
     meta: (n_queue_padded, 8) int32 node descriptors in processing order:
-      [x, pos_c, d, bc, ref_flag, ref_outd, csr_base, copied0]
+      [local_x, pos_c, d, bc, global_x, ref_outd, csr_base, copied0]
     big_out: int32 [ out(m+1) | blocks((n+1)*MB) | dump(1) ].
-    Returns the updated big_out.
+
+    The steps are PYTHON-UNROLLED inside the jit: on this TPU runtime any
+    gather executed inside a lax.while_loop/cond body runs ~1000x slower
+    AND permanently degrades every later program in the process, so the
+    decoder never loops on device — the host dispatches megasteps until all
+    lanes reach V_EXH (run_parse).
     """
     MB = cfg.max_blocks
     table = jnp.asarray(_state_kind_table_v2(cfg), dtype=jnp.int32)
@@ -240,20 +260,23 @@ def parse_v2(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig):
 
     min_int = cfg.min_interval_length
 
+    meta_cols = tuple(meta[:, i] for i in range(8))  # 1-D gather sources
+
     def load_regs(regs, want):
         """Load the next queued node into lanes with ``want``."""
         qidx = regs["q"]
         has = want & (qidx < n_queue)
-        mrow = jnp.take(meta, jnp.where(has, qidx, 0), axis=0, mode="clip")
-        bx = mrow[:, 0]      # blocks-row id (chunk-local)
-        x = mrow[:, 4]       # value-base id (global: successor values are
+        qi = jnp.where(has, qidx, 0)
+        col = lambda i: jnp.take(meta_cols[i], qi, mode="clip")  # noqa: E731
+        bx = col(0)          # blocks-row id (chunk-local)
+        x = col(4)           # value-base id (global: successor values are
                              # computed relative to it)
-        pos = mrow[:, 1]
-        d = mrow[:, 2]
-        bc = mrow[:, 3]
-        ref_outd = mrow[:, 5]
-        csr = mrow[:, 6]
-        copied0 = mrow[:, 7]
+        pos = col(1)
+        d = col(2)
+        bc = col(3)
+        ref_outd = col(5)
+        csr = col(6)
+        copied0 = col(7)
         extra0 = d - copied0
         # state for bc == 0 nodes: straight to the extra part
         st_nb = jnp.where(min_int != 0, V_INTCNT, V_RESF)
@@ -270,6 +293,7 @@ def parse_v2(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig):
             ref_outd=sel("ref_outd", ref_outd), csr=sel("csr", csr),
             extra=sel("extra", extra0), int_rem=sel("int_rem", 0),
             idx=sel("idx", 0), prev=sel("prev", 0),
+            u_acc=sel("u_acc", 0),
             emit_val=sel("emit_val", 0), emit_rem=sel("emit_rem", 0),
             res_rem=sel("res_rem", jnp.where(bc > 0, 0, extra0)),
             wp=sel("wp", csr + copied0),
@@ -298,11 +322,13 @@ def parse_v2(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig):
         st = regs["st"]
         pos = regs["pos"]
 
-        # 2. fetch the per-lane window
+        # 2. fetch the per-lane window — as WIN separate 1-D gathers: a 2-D
+        # gather inside a while body lowers catastrophically on this TPU
+        # runtime (and degrades the whole process; see _win_unary note)
         wbase = pos >> 5
-        win = jnp.take(words, wbase[:, None]
-                       + jnp.arange(WIN, dtype=jnp.int32)[None, :],
-                       mode="clip")
+        win = jnp.stack(
+            [jnp.take(words, wbase + i, mode="clip") for i in range(WIN)],
+            axis=1)
 
         wslots = []
         wvals = []
@@ -311,20 +337,19 @@ def parse_v2(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig):
         kind = jnp.take(table, st, mode="clip")
         reads = kind != K_NONE
         off0 = pos & 31
-        v, ln, ok = _win_code(win, off0, kind, cfg, kinds_used, reads)
-        # slow path for lanes that failed in-window (very long unary); only
-        # dispatched when some lane actually needs it
-        slow = reads & ~ok
-
-        def slow_fix(args):
-            v, ln = args
-            sv, sadv = read_code(words, pos, jnp.where(slow, kind, K_NONE),
-                                 cfg, kinds_used)
-            return jnp.where(slow, sv, v), jnp.where(slow, sadv, ln)
-
-        v, ln = jax.lax.cond(jnp.any(slow), slow_fix, lambda a: a, (v, ln))
-        new = dict(regs, pos=pos + jnp.where(reads, ln, 0))
-        off = off0 + jnp.where(reads, ln, 0)
+        v, ln, ok = _win_code(win, off0, kind, cfg, kinds_used, reads,
+                              regs["u_acc"])
+        # lanes with an over-long unary run consume `ln` zero bits now and
+        # finish the code in a later step (in-register accumulator; NEVER a
+        # nested while/cond — those poison the TPU runtime, see _win_unary)
+        stuck = reads & ~ok
+        new = dict(regs,
+                   pos=pos + jnp.where(reads, ln, 0),
+                   u_acc=jnp.where(stuck, regs["u_acc"] + ln, 0))
+        # stuck lanes must neither transition nor chain this step
+        st = jnp.where(stuck, jnp.int32(-9), st)
+        off = jnp.where(stuck, jnp.int32(255),
+                        off0 + jnp.where(reads, ln, 0))
 
         def sel(state, field, val):
             new[field] = jnp.where(st == state, val, new[field])
@@ -412,7 +437,7 @@ def parse_v2(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig):
             kc = jnp.where(chain_res, cfg.residual_coding, K_NONE)
             vc, lnc, okc = _win_code(win, off, kc, cfg,
                                      (cfg.residual_coding,), chain_res)
-            chain_res = chain_res & okc
+            chain_res = chain_res & okc  # failed chains retry next step
             rv = new["prev"] + vc + 1
             emi = stc == V_IEMIT
             # interval emission (no bits)
@@ -448,16 +473,92 @@ def parse_v2(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig):
         big = big.at[slots].set(vals, mode="drop", unique_indices=True)
         return new, big
 
-    def cond(c):
-        regs, _ = c
-        return jnp.any(regs["st"] != V_EXH)
+    return body, (regs, big_out)
 
-    zero = jnp.zeros(B, dtype=jnp.int32)
-    regs0 = dict(
-        q=lane, st=jnp.full(B, V_LOAD, jnp.int32), x=zero, bx=zero, pos=zero,
+
+@functools.partial(jax.jit, static_argnames=("cfg", "unroll"),
+                   donate_argnums=(2, 5))
+def parse_v2_megastep(words, meta, big_out, n_queue, blocks_off, regs,
+                      cfg: ParseConfig, unroll: int):
+    """``unroll`` machine steps, python-unrolled (the TPU path; gathers must
+    stay out of device loops on this runtime — see _machine docstring)."""
+    body, c = _machine(words, meta, big_out, n_queue, blocks_off, regs, cfg)
+    for _ in range(unroll):
+        c = body(c)
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 5))
+def parse_v2_while(words, meta, big_out, n_queue, blocks_off, regs,
+                   cfg: ParseConfig):
+    """Run the machine to completion in one device while_loop.
+
+    Used on backends without the gather-in-loop pathology (CPU tests); the
+    TPU path uses parse_v2_megastep."""
+    body, c = _machine(words, meta, big_out, n_queue, blocks_off, regs, cfg)
+
+    def cond(c):
+        return jnp.any(c[0]["st"] != V_EXH)
+
+    return jax.lax.while_loop(cond, body, c)
+
+
+def init_regs(cfg: ParseConfig):
+    """Initial lane registers (all lanes in V_LOAD with queue head i)."""
+    B = cfg.batch
+    zero = np.zeros(B, dtype=np.int32)
+    regs = dict(
+        q=np.arange(B, dtype=np.int32),
+        st=np.full(B, V_LOAD, np.int32), x=zero, bx=zero, pos=zero,
         d=zero, blk_rem=zero, blk_idx=zero, total=zero, copied=zero,
         ref_outd=zero, csr=zero, extra=zero, int_rem=zero, idx=zero,
         prev=zero, emit_val=zero, emit_rem=zero, res_rem=zero, wp=zero,
+        u_acc=zero,
     )
-    regs, big_out = jax.lax.while_loop(cond, body, (regs0, big_out))
+    return {k: jnp.asarray(v) for k, v in regs.items()}
+
+
+def parse_step_bound(bc, extra, n_queue, batch):
+    """Safe upper bound on megasteps: per node <= bc + 3*extra + 2 steps,
+    summed over each lane's private queue (round-robin assignment)."""
+    per_node = bc[:n_queue].astype(np.int64) + 3 * np.maximum(
+        extra[:n_queue].astype(np.int64), 0) + 2
+    lane_tot = np.zeros(batch, dtype=np.int64)
+    np.add.at(lane_tot, np.arange(n_queue) % batch, per_node)
+    return int(lane_tot.max(initial=1))
+
+
+def default_unroll() -> int:
+    """Megastep unroll factor: big on TPU (dispatch amortization), small on
+    CPU (XLA CPU compile time grows superlinearly with program size)."""
+    return 4 if jax.default_backend() == "cpu" else 32
+
+
+def run_parse(words, meta, big_out, n_queue, blocks_off, cfg: ParseConfig,
+              step_bound=None, unroll: int = 0, check_every: int = 4):
+    """Host-driven parse: dispatch megasteps until every lane is exhausted.
+
+    On CPU backends the whole machine runs as one device while_loop (no
+    dispatch overhead, no runtime pathology there); on TPU the host
+    dispatches python-unrolled megasteps and polls for completion."""
+    regs = init_regs(cfg)
+    nq = jnp.int32(n_queue)
+    boff = jnp.int32(blocks_off)
+    if jax.default_backend() == "cpu":
+        regs, big_out = parse_v2_while(words, meta, big_out, nq, boff,
+                                       regs, cfg=cfg)
+        return big_out
+    if not unroll:
+        unroll = default_unroll()
+    steps = 0
+    k = 0
+    while True:
+        regs, big_out = parse_v2_megastep(words, meta, big_out, nq, boff,
+                                          regs, cfg=cfg, unroll=unroll)
+        steps += unroll
+        k += 1
+        if step_bound is not None and steps >= step_bound:
+            break
+        if k % check_every == 0 and bool(jnp.all(regs["st"] == V_EXH)):
+            break
     return big_out

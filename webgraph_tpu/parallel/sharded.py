@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import vdecode as V1
 from ..ops.packed import pack_words_u32
-from ..ops.vparse2 import parse_v2, pass05
+from ..ops.vparse2 import (init_regs, parse_step_bound,
+                           parse_v2_megastep, pass05)
 
 __all__ = ["make_mesh", "decode_sharded"]
 
@@ -120,11 +121,32 @@ def decode_sharded(data, offsets, cfg: V1.ParseConfig, mesh: Mesh,
 
     from jax import shard_map
 
+    # per-chunk safe step bound (shard_map cannot host-sync per device)
+    bounds = []
+    for i, meta_i in enumerate(metas):
+        bounds.append(parse_step_bound(
+            meta_i[:, 3], meta_i[:, 2] - meta_i[:, 7], len(meta_i),
+            cfg.batch))
+    from ..ops.vparse2 import default_unroll
+    UNROLL = default_unroll()
+    n_mega = max(1, -(-max(bounds) // UNROLL))
+
+    use_while = jax.default_backend() == "cpu"
+
     def one_chunk(meta_l, nq_l, boff_l, big_l):
         # leading mesh dim of size 1 per device
-        out = parse_v2(words, meta_l[0], big_l[0], nq_l[0, 0],
-                       boff_l[0, 0], cfg)
-        return out[None]
+        regs = init_regs(cfg)
+        big1 = big_l[0]
+        if use_while:
+            from ..ops.vparse2 import parse_v2_while
+            regs, big1 = parse_v2_while(words, meta_l[0], big1, nq_l[0, 0],
+                                        boff_l[0, 0], regs, cfg=cfg)
+        else:
+            for _ in range(n_mega):
+                regs, big1 = parse_v2_megastep(
+                    words, meta_l[0], big1, nq_l[0, 0], boff_l[0, 0], regs,
+                    cfg=cfg, unroll=UNROLL)
+        return big1[None]
 
     parse_sharded = jax.jit(shard_map(
         one_chunk, mesh=mesh,
