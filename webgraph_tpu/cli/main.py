@@ -4,10 +4,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Honor WEBGRAPH_PLATFORM=cpu|tpu|axon before any jax-importing command runs
+# (the environment's sitecustomize pins JAX_PLATFORMS, so plain env vars are
+# captured too early; we override via jax.config).
+_plat = os.environ.get("WEBGRAPH_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu" if _plat == "cpu" else _plat)
 
 
 def _load(basename: str, mode: str = "standard"):
