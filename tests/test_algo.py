@@ -243,3 +243,17 @@ def test_linear_geometric_matches_bfs():
         d = bfs_oracle(g, [x])
         exact[x] = sum(1.0 / dd for dd in d[(d > 0)])
     np.testing.assert_allclose(got, exact, rtol=1e-9)
+
+
+def test_effective_diameter():
+    # cycle graph: NF(t) = n*(t+1) until n*n; effective diameter ~ 0.9*(n-1)
+    n = 30
+    g = cycle_graph(n)
+    hb = algo.HyperBall(g, log2m=7, seed=0)
+    nf = hb.run()
+    ed = algo.effective_diameter(nf, 0.9)
+    exact_nf = [n * min(t + 1, n) for t in range(len(nf))]
+    exact_ed = algo.effective_diameter(exact_nf, 0.9)
+    assert abs(ed - exact_ed) / exact_ed < 0.25
+    assert algo.effective_diameter([], 0.9) == 0.0
+    assert algo.effective_diameter([5.0], 0.9) == 0.0

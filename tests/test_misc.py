@@ -145,3 +145,27 @@ def test_estimate_typed_size():
     est = estimate_typed_graph_size(g, types)
     assert est["total_bits"] > 0
     assert len(est["bits_per_type"]) == 2
+
+
+def test_host_map(tmp_path):
+    from webgraph_tpu.utils.hostmap import build_host_map, host_of, \
+        write_host_map
+    urls = ["http://example.com/a", "http://example.com/b",
+            "https://other.org:8080/x", "http://user@example.com/c"]
+    m, hosts = build_host_map(urls)
+    assert hosts == ["example.com", "other.org"]
+    assert m.tolist() == [0, 0, 1, 0]
+    assert host_of("https://Foo.COM:443/bar") == "foo.com"
+    write_host_map(str(tmp_path / "map"), str(tmp_path / "hosts"), m, hosts)
+    back = np.fromfile(tmp_path / "map", dtype=">i8")
+    assert back.tolist() == m.tolist()
+
+
+def test_integer_list_graph(tmp_path):
+    from webgraph_tpu.codecs.intlist import IntegerListImmutableGraph
+    from webgraph_tpu.core import graph as core
+    g = erdos_renyi(30, 0.15, seed=5)
+    base = str(tmp_path / "il")
+    IntegerListImmutableGraph.store(g, base)
+    loaded = core.load(base)
+    assert loaded.to_csr().equals(g)

@@ -187,3 +187,22 @@ def sequential_hyperball(g: CSRGraph, log2m: int = 6, seed: int = 0,
             break
         regs = new
     return regs
+
+
+def effective_diameter(neighbourhood_function, alpha: float = 0.9) -> float:
+    """Effective diameter at fraction ``alpha`` from a neighbourhood
+    function (the EstimateEffectiveDiameter computation): the interpolated
+    t where NF(t) reaches alpha * NF(inf)."""
+    nf = list(neighbourhood_function)
+    if not nf:
+        return 0.0
+    target = alpha * nf[-1]
+    for t in range(len(nf)):
+        if nf[t] >= target:
+            if t == 0:
+                return 0.0
+            prev, cur = nf[t - 1], nf[t]
+            if cur == prev:
+                return float(t)
+            return (t - 1) + (target - prev) / (cur - prev)
+    return float(len(nf) - 1)
