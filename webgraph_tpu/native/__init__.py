@@ -15,7 +15,7 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["available", "decode_offset_stream", "decode_outdegrees",
-           "bv_decode_all", "build"]
+           "bv_decode_all", "bv_encode", "build"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libwgnative.so")
 _lib: Optional[ctypes.CDLL] = None
@@ -28,6 +28,9 @@ def _load():
         lib.wg_decode_offset_stream.restype = ctypes.c_int
         lib.wg_decode_outdegrees.restype = ctypes.c_int
         lib.wg_bv_decode_all.restype = ctypes.c_int64
+        if hasattr(lib, "wg_bv_encode"):
+            lib.wg_bv_encode.restype = ctypes.c_int64
+            lib.wg_buffer_free.restype = None
         _lib = lib
     return _lib
 
@@ -104,3 +107,58 @@ def bv_decode_all(data: np.ndarray, n: int, m: int, settings) -> tuple:
     if wrote < 0:
         raise RuntimeError(f"native decode failed: {wrote}")
     return csr_off, succ[:wrote]
+
+
+#: stats layout returned by bv_encode (mirrors codecs.bvgraph._Encoder):
+#: copied, intervalised, residual arcs; tot_ref, tot_dist; bits for
+#: outdegrees/references/blocks/intervals/residuals; 64 successor-gap bins;
+#: 64 residual-gap bins.
+STAT_WORDS = 10 + 64 + 64
+
+
+def bv_encode(csr_off: np.ndarray, succ: np.ndarray, settings,
+              threads: int = 1):
+    """Parallel BVGraph encode of CSR arrays (wg_bv_encode).
+
+    Returns (graph_bytes, graph_bits, offsets_bytes, offsets_bits, stats).
+    threads=1 is byte-identical to the Python _Encoder single stream; more
+    threads mirror the reference's per-thread window resets
+    (BVGraph.java:2406-2483).
+    """
+    lib = _load()
+    csr_off = np.ascontiguousarray(csr_off, dtype=np.int64)
+    succ = np.ascontiguousarray(succ, dtype=np.int64)
+    n = len(csr_off) - 1
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding,
+                          settings.offset_coding], dtype=np.int32)
+    stats = np.zeros(STAT_WORDS, dtype=np.int64)
+    g_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    o_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    g_bits = ctypes.c_int64()
+    o_bits = ctypes.c_int64()
+    rc = lib.wg_bv_encode(
+        _ptr(csr_off, ctypes.c_int64), _ptr(succ, ctypes.c_int64),
+        ctypes.c_int64(n), ctypes.c_int(threads),
+        ctypes.c_int(settings.window_size),
+        ctypes.c_int(settings.max_ref_count),
+        ctypes.c_int(settings.min_interval_length),
+        ctypes.c_int(settings.zeta_k), _ptr(codings, ctypes.c_int),
+        ctypes.byref(g_ptr), ctypes.byref(g_bits),
+        ctypes.byref(o_ptr), ctypes.byref(o_bits), _ptr(stats, ctypes.c_int64))
+    if rc < 0:
+        raise RuntimeError(f"native encode failed: {rc}")
+    try:
+        g_len = (g_bits.value + 7) // 8
+        o_len = (o_bits.value + 7) // 8
+        graph = np.ctypeslib.as_array(g_ptr, shape=(max(g_len, 1),))[
+            :g_len].copy()
+        offs = np.ctypeslib.as_array(o_ptr, shape=(max(o_len, 1),))[
+            :o_len].copy()
+    finally:
+        lib.wg_buffer_free(g_ptr)
+        lib.wg_buffer_free(o_ptr)
+    return graph, g_bits.value, offs, o_bits.value, stats

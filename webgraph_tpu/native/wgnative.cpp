@@ -12,7 +12,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -129,6 +131,428 @@ inline int64_t read_coded(BitReader& r, int coding, int zeta_k) {
         default: return -1;
     }
 }
+
+// ---------------------------------------------------------------------------
+// Encoder: MSB-first bit writer + BVGraph differential compressor.
+//
+// Mirrors the golden-validated Python encoder (codecs/bvgraph.py _Encoder,
+// itself a re-implementation of CompressionThread.call + diffComp,
+// BVGraph.java:1977-2328): greedy reference selection over the window with a
+// counting pass per candidate, strict improvement, first minimum wins.  A
+// range encoder starts with a fresh window, mirroring the reference's
+// per-thread splitNodeIterators semantics (BVGraph.java:2406-2415); range
+// streams are concatenated bit-exactly (copyTo, BVGraph.java:2432-2483).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitWriter {
+    std::vector<uint8_t> out;
+    uint64_t buf = 0;  // MSB-first accumulator, fill bits valid
+    int fill = 0;
+
+    inline int64_t written_bits() const { return (int64_t)out.size() * 8 + fill; }
+
+    inline void write_bits(uint64_t value, int n) {
+        // n <= 57 so buf never overflows before flushing
+        buf = (buf << n) | value;
+        fill += n;
+        while (fill >= 8) {
+            fill -= 8;
+            out.push_back((uint8_t)(buf >> fill));
+        }
+        buf &= ((uint64_t)1 << fill) - 1;
+    }
+
+    inline void write_bits_long(uint64_t value, int n) {
+        if (n > 32) {
+            write_bits(value >> 32, n - 32);
+            write_bits(value & 0xffffffffu, 32);
+        } else if (n > 0) {
+            write_bits(value, n);
+        }
+    }
+
+    inline void write_unary(int64_t x) {
+        while (x >= 32) {
+            write_bits(0, 32);
+            x -= 32;
+        }
+        write_bits(1, (int)x + 1);
+    }
+
+    void flush() {
+        if (fill) {
+            out.push_back((uint8_t)(buf << (8 - fill)));
+            buf = 0;
+            fill = 0;
+        }
+    }
+};
+
+inline int msb64(uint64_t x) { return 63 - __builtin_clzll(x); }
+
+inline int64_t len_unary(int64_t x) { return x + 1; }
+
+inline int64_t len_gamma(int64_t x) {
+    int b = msb64((uint64_t)x + 1);
+    return 2 * b + 1;
+}
+
+inline int64_t len_delta(int64_t x) {
+    int b = msb64((uint64_t)x + 1);
+    return len_gamma(b) + b;
+}
+
+inline int64_t len_zeta(int64_t x, int k) {
+    uint64_t z = (uint64_t)x + 1;
+    int h = msb64(z) / k;
+    uint64_t left = (uint64_t)1 << (h * k);
+    return (h + 1) + ((z - left < left) ? h * k + k - 1 : h * k + k);
+}
+
+inline int64_t len_minimal_binary(int64_t x, int64_t b) {
+    int s = msb64((uint64_t)b);
+    int64_t m = ((int64_t)1 << (s + 1)) - b;
+    return (x < m) ? s : s + 1;
+}
+
+inline int64_t len_golomb(int64_t x, int64_t b) {
+    if (b == 0) return 0;
+    return x / b + 1 + len_minimal_binary(x % b, b);
+}
+
+inline int64_t len_nibble(int64_t x) {
+    if (x == 0) return 4;
+    return 4 * ((int64_t)(msb64((uint64_t)x) / 3) + 1);
+}
+
+inline int64_t len_coded(int64_t x, int coding, int zeta_k) {
+    switch (coding) {
+        case K_GAMMA: return len_gamma(x);
+        case K_DELTA: return len_delta(x);
+        case K_UNARY: return len_unary(x);
+        case K_ZETA: return len_zeta(x, zeta_k);
+        case K_GOLOMB: return len_golomb(x, zeta_k);
+        case K_NIBBLE: return len_nibble(x);
+        default: return 1 << 30;
+    }
+}
+
+inline void write_gamma(BitWriter& w, int64_t x) {
+    uint64_t z = (uint64_t)x + 1;
+    int b = msb64(z);
+    w.write_unary(b);
+    w.write_bits_long(z - ((uint64_t)1 << b), b);
+}
+
+inline void write_delta(BitWriter& w, int64_t x) {
+    uint64_t z = (uint64_t)x + 1;
+    int b = msb64(z);
+    write_gamma(w, b);
+    w.write_bits_long(z - ((uint64_t)1 << b), b);
+}
+
+inline void write_zeta(BitWriter& w, int64_t x, int k) {
+    uint64_t z = (uint64_t)x + 1;
+    int h = msb64(z) / k;
+    uint64_t left = (uint64_t)1 << (h * k);
+    w.write_unary(h);
+    if (z - left < left)
+        w.write_bits_long(z - left, h * k + k - 1);
+    else
+        w.write_bits_long(z, h * k + k);
+}
+
+inline void write_minimal_binary(BitWriter& w, int64_t x, int64_t b) {
+    int s = msb64((uint64_t)b);
+    int64_t m = ((int64_t)1 << (s + 1)) - b;
+    if (x < m)
+        w.write_bits_long((uint64_t)x, s);
+    else
+        w.write_bits_long((uint64_t)(x + m), s + 1);
+}
+
+inline void write_golomb(BitWriter& w, int64_t x, int64_t b) {
+    if (b == 0) return;
+    w.write_unary(x / b);
+    write_minimal_binary(w, x % b, b);
+}
+
+inline void write_nibble(BitWriter& w, int64_t x) {
+    if (x == 0) {
+        w.write_bits(8, 4);
+        return;
+    }
+    int h = msb64((uint64_t)x) / 3;
+    while (h >= 0) {
+        uint64_t g = ((uint64_t)x >> (h * 3)) & 7;
+        w.write_bits(h == 0 ? (g | 8) : g, 4);
+        h--;
+    }
+}
+
+inline void write_coded(BitWriter& w, int64_t x, int coding, int zeta_k) {
+    switch (coding) {
+        case K_GAMMA: write_gamma(w, x); break;
+        case K_DELTA: write_delta(w, x); break;
+        case K_UNARY: w.write_unary(x); break;
+        case K_ZETA: write_zeta(w, x, zeta_k); break;
+        case K_GOLOMB: write_golomb(w, x, zeta_k); break;
+        case K_NIBBLE: write_nibble(w, x); break;
+    }
+}
+
+inline int64_t int2nat(int64_t x) { return (x << 1) ^ (x >> 63); }
+
+// Stats layout (mirrors _Encoder fields; Python assembles .properties):
+//  [0] copied_arcs [1] intervalised_arcs [2] residual_arcs
+//  [3] tot_ref [4] tot_dist [5] bits_for_outdegrees [6] bits_for_references
+//  [7] bits_for_blocks [8] bits_for_intervals [9] bits_for_residuals
+//  [10..73] successor gap bins  [74..137] residual gap bins
+constexpr int STAT_WORDS = 10 + 64 + 64;
+
+struct EncSettings {
+    int window_size, max_ref_count, min_interval_length, zeta_k;
+    int c_out, c_ref, c_bcnt, c_blk, c_res;
+};
+
+struct Encoder {
+    EncSettings s;
+    const int64_t* csr_off;
+    const int64_t* succ;
+    std::vector<const int64_t*> window;
+    std::vector<int64_t> window_len;
+    std::vector<int> ref_count;
+    std::vector<int64_t> blocks, extras;
+    int64_t* st;  // stats
+
+    Encoder(const EncSettings& es, const int64_t* co, const int64_t* su,
+            int64_t* stats)
+        : s(es), csr_off(co), succ(su), st(stats) {
+        int cyclic = s.window_size + 1;
+        window.assign((size_t)cyclic, nullptr);
+        window_len.assign((size_t)cyclic, 0);
+        ref_count.assign((size_t)cyclic, 0);
+    }
+
+    void update_bins(int64_t curr_node, const int64_t* vals, int64_t len,
+                     int64_t* bins) {
+        for (int64_t i = 0; i + 1 < len; i++)
+            bins[msb64((uint64_t)(vals[i + 1] - vals[i]))]++;
+        int64_t z = int2nat(vals[0] - curr_node);
+        if (z > 0) bins[msb64((uint64_t)z)]++;
+        // z == 0: msb is -1, not binned (matches _Encoder._update_bins)
+    }
+
+    // Differential compression of curr vs ref candidate.  for_real=false is
+    // the counting pass (returns the would-be size in bits).
+    int64_t diff_comp(BitWriter* obs, int64_t curr_node, int64_t ref,
+                      const int64_t* ref_list, int64_t ref_len,
+                      const int64_t* curr_list, int64_t curr_len,
+                      bool for_real) {
+        int64_t bits = 0;
+        if (ref == 0) ref_len = 0;
+
+        blocks.clear();
+        extras.clear();
+        int64_t j = 0, k = 0, curr_block_len = 0;
+        bool copying = true;
+        int64_t copied_here = 0;
+        while (j < curr_len && k < ref_len) {
+            if (copying) {
+                if (curr_list[j] > ref_list[k]) {
+                    blocks.push_back(curr_block_len);
+                    copying = false;
+                    curr_block_len = 0;
+                } else if (curr_list[j] < ref_list[k]) {
+                    extras.push_back(curr_list[j++]);
+                } else {
+                    j++; k++; curr_block_len++;
+                    copied_here++;
+                }
+            } else {
+                if (curr_list[j] < ref_list[k]) {
+                    extras.push_back(curr_list[j++]);
+                } else if (curr_list[j] > ref_list[k]) {
+                    k++; curr_block_len++;
+                } else {
+                    blocks.push_back(curr_block_len);
+                    copying = true;
+                    curr_block_len = 0;
+                }
+            }
+        }
+        if (copying && k < ref_len) blocks.push_back(curr_block_len);
+        while (j < curr_len) extras.push_back(curr_list[j++]);
+        if (for_real) st[0] += copied_here;
+
+        if (s.window_size > 0) {
+            int64_t t = len_coded(ref, s.c_ref, s.zeta_k);
+            if (for_real) { write_coded(*obs, ref, s.c_ref, s.zeta_k); st[6] += t; }
+            bits += t;
+        }
+        if (ref != 0) {
+            int64_t t = len_coded((int64_t)blocks.size(), s.c_bcnt, s.zeta_k);
+            if (for_real) {
+                write_coded(*obs, (int64_t)blocks.size(), s.c_bcnt, s.zeta_k);
+                st[7] += t;
+            }
+            bits += t;
+            for (size_t i = 0; i < blocks.size(); i++) {
+                int64_t b = i == 0 ? blocks[i] : blocks[i] - 1;
+                int64_t tb = len_coded(b, s.c_blk, s.zeta_k);
+                if (for_real) { write_coded(*obs, b, s.c_blk, s.zeta_k); st[7] += tb; }
+                bits += tb;
+            }
+        }
+
+        if (!extras.empty()) {
+            // intervalization (BVGraph.java:1595-1618) + residual gaps
+            int64_t first_res = -1, prev_res = -1;
+            bool have_res = false;
+            int64_t res_count = 0;
+            auto emit_residual = [&](int64_t v) {
+                int64_t t;
+                if (!have_res) {
+                    t = len_coded(int2nat(v - curr_node), s.c_res, s.zeta_k);
+                    if (for_real)
+                        write_coded(*obs, int2nat(v - curr_node), s.c_res, s.zeta_k);
+                    first_res = v;
+                    have_res = true;
+                } else {
+                    t = len_coded(v - prev_res - 1, s.c_res, s.zeta_k);
+                    if (for_real) {
+                        write_coded(*obs, v - prev_res - 1, s.c_res, s.zeta_k);
+                        st[74 + msb64((uint64_t)(v - prev_res))]++;
+                    }
+                }
+                prev_res = v;
+                res_count++;
+                if (for_real) st[9] += t;
+                bits += t;
+            };
+
+            if (s.min_interval_length != 0) {
+                const int64_t minint = s.min_interval_length;
+                const int64_t vl = (int64_t)extras.size();
+                const int64_t* vals = extras.data();
+                // first scan: count intervals (the gamma count precedes them)
+                int64_t n_intervals = 0;
+                for (int64_t i = 0; i < vl;) {
+                    int64_t jr = 0;
+                    if (i < vl - 1 && vals[i] + 1 == vals[i + 1]) {
+                        jr = 2;
+                        while (i + jr - 1 < vl - 1 &&
+                               vals[i + jr - 1] + 1 == vals[i + jr])
+                            jr++;
+                        if (jr >= minint) {
+                            n_intervals++;
+                            i += jr;
+                            continue;
+                        }
+                    }
+                    i++;
+                }
+                int64_t t = len_gamma(n_intervals);
+                if (for_real) { write_gamma(*obs, n_intervals); st[8] += t; }
+                bits += t;
+                // second scan: intervals first (in order), then residuals
+                int64_t prev = 0, idx = 0;
+                for (int64_t i = 0; i < vl;) {
+                    int64_t jr = 0;
+                    if (i < vl - 1 && vals[i] + 1 == vals[i + 1]) {
+                        jr = 2;
+                        while (i + jr - 1 < vl - 1 &&
+                               vals[i + jr - 1] + 1 == vals[i + jr])
+                            jr++;
+                        if (jr >= minint) {
+                            int64_t left = vals[i];
+                            int64_t code = idx == 0 ? int2nat(left - curr_node)
+                                                    : left - prev - 1;
+                            int64_t tl = len_gamma(code) +
+                                         len_gamma(jr - minint);
+                            if (for_real) {
+                                write_gamma(*obs, code);
+                                write_gamma(*obs, jr - minint);
+                                st[8] += tl;
+                                st[1] += jr;
+                            }
+                            bits += tl;
+                            prev = left + jr;
+                            idx++;
+                            i += jr;
+                            continue;
+                        }
+                    }
+                    i++;
+                }
+                for (int64_t i = 0; i < vl;) {
+                    int64_t jr = 0;
+                    if (i < vl - 1 && vals[i] + 1 == vals[i + 1]) {
+                        jr = 2;
+                        while (i + jr - 1 < vl - 1 &&
+                               vals[i + jr - 1] + 1 == vals[i + jr])
+                            jr++;
+                        if (jr >= minint) { i += jr; continue; }
+                    }
+                    emit_residual(vals[i]);
+                    i++;
+                }
+            } else {
+                for (int64_t v : extras) emit_residual(v);
+            }
+            if (for_real && res_count > 0) {
+                st[2] += res_count;
+                int64_t z = int2nat(first_res - curr_node);
+                if (z > 0) st[74 + msb64((uint64_t)z)]++;
+            }
+        }
+        return bits;
+    }
+
+    // Encode node x; returns bits written.
+    int64_t encode_node(BitWriter& obs, int64_t x) {
+        int64_t start = obs.written_bits();
+        const int cyclic = s.window_size + 1;
+        const int curr_index = (int)(x % cyclic);
+        const int64_t* curr_list = succ + csr_off[x];
+        const int64_t outd = csr_off[x + 1] - csr_off[x];
+        int64_t t = len_coded(outd, s.c_out, s.zeta_k);
+        write_coded(obs, outd, s.c_out, s.zeta_k);
+        st[5] += t;
+        window[curr_index] = curr_list;
+        window_len[curr_index] = outd;
+        if (outd == 0) return obs.written_bits() - start;
+        update_bins(x, curr_list, outd, st + 10);
+
+        int64_t best_comp = -1;
+        int best_cand = -1;
+        int64_t best_ref = -1;
+        ref_count[curr_index] = -1;
+        for (int ref = 0; ref < cyclic; ref++) {
+            int cand = (int)(((x - ref) % cyclic + cyclic) % cyclic);
+            if (ref_count[cand] < s.max_ref_count && window_len[cand] != 0) {
+                int64_t size = diff_comp(nullptr, x, ref, window[cand],
+                                         window_len[cand], curr_list, outd,
+                                         false);
+                if (best_comp < 0 || size < best_comp) {
+                    best_comp = size;
+                    best_cand = cand;
+                    best_ref = ref;
+                }
+            }
+        }
+        ref_count[curr_index] = ref_count[best_cand] + 1;
+        diff_comp(&obs, x, best_ref, window[best_cand], window_len[best_cand],
+                  curr_list, outd, true);
+        st[3] += ref_count[curr_index];
+        st[4] += best_ref;
+        return obs.written_bits() - start;
+    }
+};
+
+}  // namespace
 
 }  // namespace
 
@@ -256,5 +680,113 @@ int64_t wg_bv_decode_all(const uint8_t* data, int64_t len_bytes, int64_t n,
     }
     return wp;
 }
+
+// Parallel BVGraph encode from CSR arrays.
+//
+// Splits [0, n) into `threads` arc-balanced ranges; each range is encoded
+// with a fresh window (the reference's per-thread semantics,
+// BVGraph.java:2406-2415) and the per-range bit streams are concatenated
+// bit-exactly (copyTo, BVGraph.java:2432-2483).  threads=1 reproduces the
+// single-stream encoder byte for byte (golden-tested vs cnr-2000).
+//
+// codings: [outdegree, reference, block_count, block, residual, offset]
+// Outputs are malloc'd; free with wg_buffer_free.  stats has 138 entries
+// (see STAT_WORDS layout).  Returns total graph bits, or -1 on error.
+int64_t wg_bv_encode(const int64_t* csr_off, const int64_t* succ, int64_t n,
+                     int threads, int window_size, int max_ref_count,
+                     int min_interval_length, int zeta_k, const int* codings,
+                     uint8_t** graph_out, int64_t* graph_bits,
+                     uint8_t** offsets_out, int64_t* offsets_bits,
+                     int64_t* stats) {
+    EncSettings es{window_size, max_ref_count, min_interval_length, zeta_k,
+                   codings[0], codings[1], codings[2], codings[3], codings[4]};
+    const int c_off = codings[5];
+    if (threads < 1) threads = 1;
+    if (threads > n) threads = (int)(n > 0 ? n : 1);
+
+    // arc-balanced range boundaries
+    std::vector<int64_t> bounds((size_t)threads + 1);
+    bounds[0] = 0;
+    bounds[(size_t)threads] = n;
+    const int64_t m = n > 0 ? csr_off[n] : 0;
+    {
+        int64_t x = 0;
+        for (int t = 1; t < threads; t++) {
+            int64_t target = m * t / threads;
+            while (x < n && csr_off[x] < target) x++;
+            bounds[(size_t)t] = x;
+        }
+    }
+
+    std::vector<BitWriter> gws((size_t)threads), ows((size_t)threads);
+    std::vector<std::vector<int64_t>> all_stats(
+        (size_t)threads, std::vector<int64_t>(STAT_WORDS, 0));
+
+    auto encode_range = [&](int t) {
+        Encoder enc(es, csr_off, succ, all_stats[(size_t)t].data());
+        BitWriter& gw = gws[(size_t)t];
+        BitWriter& ow = ows[(size_t)t];
+        for (int64_t x = bounds[(size_t)t]; x < bounds[(size_t)t + 1]; x++) {
+            int64_t bits = enc.encode_node(gw, x);
+            // offsets gap = this node's entry length (gamma/delta coded)
+            write_coded(ow, bits, c_off, zeta_k);
+        }
+    };
+
+    if (threads == 1) {
+        encode_range(0);
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)threads);
+        for (int t = 0; t < threads; t++)
+            pool.emplace_back(encode_range, t);
+        for (auto& th : pool) th.join();
+    }
+
+    // aggregate stats
+    for (int t = 0; t < threads; t++)
+        for (int i = 0; i < STAT_WORDS; i++) stats[i] += all_stats[(size_t)t][i];
+
+    // bit-exact concatenation of the graph streams
+    auto concat = [](std::vector<BitWriter>& ws, bool lead_zero_gamma) {
+        BitWriter out;
+        if (lead_zero_gamma) out.write_bits(1, 1);  // gamma(0) leading offset
+        for (auto& w : ws) {
+            int64_t bits = w.written_bits();
+            const uint8_t* p = w.out.data();
+            int64_t full = bits / 8;
+            int64_t i = 0;
+            for (; i + 4 <= full; i += 4) {
+                uint32_t w32 = ((uint32_t)p[i] << 24) | ((uint32_t)p[i + 1] << 16)
+                             | ((uint32_t)p[i + 2] << 8) | (uint32_t)p[i + 3];
+                out.write_bits(w32, 32);
+            }
+            for (; i < full; i++) out.write_bits(p[i], 8);
+            int rem = (int)(bits % 8);
+            if (rem) {
+                // remaining bits live in the accumulator (w.fill == rem)
+                out.write_bits(w.buf, rem);
+            }
+            w.out.clear();
+            w.out.shrink_to_fit();
+        }
+        return out;
+    };
+
+    BitWriter g = concat(gws, false);
+    BitWriter o = concat(ows, true);
+    int64_t gb = g.written_bits(), ob = o.written_bits();
+    g.flush();
+    o.flush();
+    *graph_bits = gb;
+    *offsets_bits = ob;
+    *graph_out = (uint8_t*)std::malloc(g.out.size() ? g.out.size() : 1);
+    std::memcpy(*graph_out, g.out.data(), g.out.size());
+    *offsets_out = (uint8_t*)std::malloc(o.out.size() ? o.out.size() : 1);
+    std::memcpy(*offsets_out, o.out.data(), o.out.size());
+    return gb;
+}
+
+void wg_buffer_free(uint8_t* p) { std::free(p); }
 
 }  // extern "C"
