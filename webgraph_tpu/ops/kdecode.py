@@ -1,0 +1,833 @@
+"""Pallas BVGraph decode kernel: lane-per-chunk, fully in-kernel.
+
+The TPU-native decode engine (SURVEY §7 step 3, BASELINE north star).  The
+graph's node range is split into ~arc-balanced contiguous chunks, one chunk
+per vector lane (8x128 lanes per grid program).  Each lane runs the complete
+BVGraph entry state machine — outdegree / reference / copy-blocks /
+intervals / residuals (format spec BVGraph.java:123-233, decode semantics
+:995-1097) — over its own bit-stream column resident in VMEM, resolving
+references *inline* against a per-lane sliding window of already-decoded
+lists (the BVGraphNodeIterator discipline, BVGraph.java:1100-1245), so no
+post-pass reference resolution is needed.
+
+Chunks are independent because reference chains are bounded: every chain
+from a node has length <= max_ref_count with per-hop distance <= window_size
+(BVGraph.java:455, :2258), so decoding starts ``window_size * max_ref_count``
+halo nodes before the chunk (their output is discarded).  Lists whose chains
+escape the halo belong only to halo nodes never referenced by chunk nodes,
+so their (garbage) values are never observed — but their *bit lengths* are
+exact because parsing needs only the referenced node's outdegree, which is
+preloaded for the initial window slots.
+
+Mosaic constraints shape the implementation (experiments/pallas_probe*.py):
+big-table gathers do not lower, so every per-lane random access is a masked
+compare-sum/select sweep over a VMEM buffer (stream column refills, output
+column reads for copy heads, block/interval scratch, window slots).
+
+Error handling: corrupt or unsupported streams set per-lane diagnostic
+flags (count mismatches, unary overruns, scratch overflows) instead of
+decoding garbage silently; the host wrapper falls back to the XLA/native
+decoders when any lane flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .packed import pack_words_u32
+
+K_DELTA, K_GAMMA, K_GOLOMB, K_SKEWED, K_UNARY, K_ZETA, K_NIBBLE = (
+    1, 2, 3, 4, 5, 6, 7)
+K_NONE = 0
+
+# states
+ST_DONE = 0
+ST_OUTD = 1
+ST_REF = 2
+ST_BC = 3
+ST_BLK = 4
+ST_ICNT = 5
+ST_ILEFT = 6
+ST_ILEN = 7
+ST_RESF = 8
+ST_EMIT = 9
+
+INT_INF = np.int32(0x7FFFFFFF)
+BIG_RUN = np.int32(0x3FFFFFFF)  # "unbounded" keep run (tail copy)
+
+_KERNEL_KINDS = (K_GAMMA, K_DELTA, K_UNARY, K_ZETA)
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelSpec:
+    """Static kernel parameters (hashable; keys the compile cache)."""
+
+    window_size: int
+    min_interval_length: int
+    zeta_k: int
+    outdegree_coding: int
+    reference_coding: int
+    block_count_coding: int
+    block_coding: int
+    residual_coding: int
+    R: int          # stream column rows (uint32 words per lane)
+    V: int          # output column rows (successors per lane, halo incl.)
+    T: int          # grid programs (tiles of 8x128 lanes)
+    BMAX: int = 32  # copy-block scratch rows per lane
+    IMAX: int = 32  # interval scratch pairs per lane
+    max_steps: int = 0
+
+    def supported(self) -> bool:
+        ks = {self.outdegree_coding, self.reference_coding,
+              self.block_count_coding, self.block_coding,
+              self.residual_coding}
+        return ks <= set(_KERNEL_KINDS) and 0 <= self.window_size <= 7
+
+
+# diagnostic row layout
+DIAG_ERR, DIAG_WCUR, DIAG_NODES, DIAG_ROWS = 0, 1, 2, 3
+
+# error bits
+E_UNARY = 1        # unary run beyond the 64-bit window
+E_WIDTH = 2        # code mantissa beyond 32 bits (value >= 2^32)
+E_BLK_OVF = 4      # more copy blocks than BMAX
+E_INT_OVF = 8      # more intervals than IMAX
+E_COUNT = 16       # emitted successors != outdegree
+E_WCUR = 32        # output column overflow
+E_STEPS = 64       # step budget exhausted (set by wrapper)
+
+
+def _sel3(k32, a, b, c):
+    return jnp.where(k32 == 0, a, jnp.where(k32 == 1, b, c))
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _i32(x):
+    return x.astype(jnp.int32)
+
+
+def _make_kernel(spec: KernelSpec):
+    W = spec.window_size
+    CYC = W + 1
+    MININT = spec.min_interval_length
+    ZK = spec.zeta_k
+    R, V, BMAX, IMAX = spec.R, spec.V, spec.BMAX, spec.IMAX
+
+    state_kind = {
+        ST_OUTD: spec.outdegree_coding,
+        ST_REF: spec.reference_coding if W > 0 else K_NONE,
+        ST_BC: spec.block_count_coding if W > 0 else K_NONE,
+        ST_BLK: spec.block_coding if W > 0 else K_NONE,
+        ST_ICNT: K_GAMMA if MININT else K_NONE,
+        ST_ILEFT: K_GAMMA if MININT else K_NONE,
+        ST_ILEN: K_GAMMA if MININT else K_NONE,
+        ST_RESF: spec.residual_coding,
+        ST_EMIT: spec.residual_coding,
+    }
+    kinds_used = tuple(sorted({k for k in state_kind.values()
+                               if k != K_NONE}))
+
+    def kernel(meta_ref, col_ref, out_ref, diag_ref,
+               win_d, win_row, blkbuf, intbuf):
+        zi = jnp.zeros((8, 128), jnp.int32)
+        zu = jnp.zeros((8, 128), jnp.uint32)
+        out_ref[:] = jnp.zeros((V, 8, 128), jnp.int32)
+
+        rows_R = jax.lax.broadcasted_iota(jnp.int32, (R, 8, 128), 0)
+        rows_V = jax.lax.broadcasted_iota(jnp.int32, (V, 8, 128), 0)
+        rows_B = jax.lax.broadcasted_iota(jnp.int32, (BMAX, 8, 128), 0)
+        rows_I = jax.lax.broadcasted_iota(jnp.int32, (2 * IMAX, 8, 128), 0)
+        rows_C = jax.lax.broadcasted_iota(jnp.int32, (CYC, 8, 128), 0)
+
+        n_nodes = meta_ref[0]
+        bit0 = meta_ref[1]
+        base = meta_ref[2]
+        # meta rows 4..4+CYC-1: initial window outdegrees, slot-ordered
+        for s in range(CYC):
+            win_d[s] = meta_ref[4 + s][None][0]
+        win_row[:] = jnp.zeros((CYC, 8, 128), jnp.int32)
+
+        # ------------------------------------------------------ primitives
+        def col_word(rp, en):
+            m = (rows_R == jnp.where(en, rp, -1)[None])
+            return _u32(jnp.sum(jnp.where(m, col_ref[:], 0), axis=0))
+
+        def out_read(row, en):
+            m = (rows_V == jnp.where(en, row, -1)[None])
+            return jnp.sum(jnp.where(m, out_ref[:], 0), axis=0)
+
+        def out_write(row, val, en):
+            m = (rows_V == row[None]) & en[None]
+            out_ref[:] = jnp.where(m, val[None], out_ref[:])
+
+        def buf_pair_read(buf, rows_iota, r0, r1, en):
+            """Read buf[r0], buf[r1] per lane in one sweep."""
+            r0s = jnp.where(en, r0, -1)[None]
+            r1s = jnp.where(en, r1, -1)[None]
+            b = buf[:]
+            a = jnp.sum(jnp.where(rows_iota == r0s, b, 0), axis=0)
+            c = jnp.sum(jnp.where(rows_iota == r1s, b, 0), axis=0)
+            return a, c
+
+        def win_read(slot, en):
+            s = jnp.where(en, slot, -1)[None]
+            m = rows_C == s
+            d = jnp.sum(jnp.where(m, win_d[:], 0), axis=0)
+            r = jnp.sum(jnp.where(m, win_row[:], 0), axis=0)
+            return d, r
+
+        def refill(b0, b1, b2, avail, rp, active):
+            need = active & (avail <= 64)
+            w = col_word(rp, need)
+            k32 = avail >> 5
+            r = _u32(avail & 31)
+            rr = jnp.where(r > 0, jnp.uint32(32) - r, 1)
+            w_hi = jnp.where(r > 0, w >> r, w)
+            w_lo = jnp.where(r > 0, w << rr, jnp.uint32(0))
+            b0 = jnp.where(need & (k32 == 0), b0 | w_hi, b0)
+            b1 = jnp.where(need & (k32 == 0), b1 | w_lo,
+                           jnp.where(need & (k32 == 1), b1 | w_hi, b1))
+            b2 = jnp.where(need & (k32 == 1), b2 | w_lo,
+                           jnp.where(need & (k32 == 2), b2 | w_hi, b2))
+            avail = jnp.where(need, avail + 32, avail)
+            rp = jnp.where(need, rp + 1, rp)
+            return b0, b1, b2, avail, rp
+
+        def consume(b0, b1, b2, avail, k):
+            k32 = k >> 5
+            r = _u32(k & 31)
+            B0 = _sel3(k32, b0, b1, b2)
+            B1 = _sel3(k32, b1, b2, zu)
+            B2 = _sel3(k32, b2, zu, zu)
+            rr = jnp.where(r > 0, jnp.uint32(32) - r, 1)
+            hasr = r > 0
+            nb0 = jnp.where(hasr, (B0 << r) | (B1 >> rr), B0)
+            nb1 = jnp.where(hasr, (B1 << r) | (B2 >> rr), B1)
+            nb2 = jnp.where(hasr, B2 << r, B2)
+            return nb0, nb1, nb2, avail - k
+
+        def extract(b0, b1, b2, off, nb):
+            """nb (0..32) bits at bit offset off (0..66) as uint32."""
+            k32 = off >> 5
+            r = _u32(off & 31)
+            B0 = _sel3(k32, b0, b1, b2)
+            B1 = _sel3(k32, b1, b2, zu)
+            rr = jnp.where(r > 0, jnp.uint32(32) - r, 1)
+            top = jnp.where(r > 0, (B0 << r) | (B1 >> rr), B0)
+            ok = nb > 0
+            return jnp.where(ok, top >> _u32(jnp.where(ok, 32 - nb, 1)),
+                             jnp.uint32(0))
+
+        def shl1(n):
+            return (jnp.uint32(1) << _u32(jnp.clip(n, 0, 31)))
+
+        def read_code(b0, b1, b2, kind, err):
+            """One instantaneous code at the buffer head.
+
+            Returns (value uint32, advance int32, err).  Lanes with
+            kind == K_NONE read nothing (value 0, advance 0)."""
+            active = kind != K_NONE
+            u = jnp.where(b0 != 0, jax.lax.clz(_i32(b0)),
+                          32 + jax.lax.clz(_i32(b1)))
+            err = err | jnp.where(active & (b0 == 0) & (b1 == 0),
+                                  E_UNARY, 0)
+            u = jnp.where(active, jnp.minimum(u, 63), 0)
+            value = zu
+            adv = zi
+
+            if K_UNARY in kinds_used:
+                m = kind == K_UNARY
+                value = jnp.where(m, _u32(u), value)
+                adv = jnp.where(m, u + 1, adv)
+            if K_GAMMA in kinds_used:
+                m = kind == K_GAMMA
+                err = err | jnp.where(m & (u > 31), E_WIDTH, 0)
+                um = jnp.where(m, jnp.minimum(u, 31), 0)
+                mant = extract(b0, b1, b2, um + 1, um)
+                v = (shl1(um) | mant) - 1
+                value = jnp.where(m, v, value)
+                adv = jnp.where(m, 2 * um + 1, adv)
+            if K_DELTA in kinds_used:
+                m = kind == K_DELTA
+                um = jnp.where(m, jnp.minimum(u, 31), 0)
+                mant = extract(b0, b1, b2, um + 1, um)
+                e = _i32((shl1(um) | mant) - 1)
+                err = err | jnp.where(m & (e > 31), E_WIDTH, 0)
+                e = jnp.where(m, jnp.minimum(e, 31), 0)
+                mant2 = extract(b0, b1, b2, 2 * um + 1, e)
+                v = (shl1(e) | mant2) - 1
+                value = jnp.where(m, v, value)
+                adv = jnp.where(m, 2 * um + 1 + e, adv)
+            if K_ZETA in kinds_used:
+                m = kind == K_ZETA
+                l1 = u * ZK + (ZK - 1)
+                err = err | jnp.where(m & (l1 > 32), E_WIDTH, 0)
+                l1 = jnp.where(m, jnp.minimum(l1, 32), 0)
+                bits = extract(b0, b1, b2, u + 1, l1)
+                left = shl1(u * ZK)
+                short = bits < left
+                eb = extract(b0, b1, b2, u + 1 + l1,
+                             jnp.where(m & ~short, 1, 0))
+                v = jnp.where(short, bits + left - 1, (bits << 1) + eb - 1)
+                value = jnp.where(m, v, value)
+                adv = jnp.where(m, u + 1 + l1 + jnp.where(short, 0, 1), adv)
+            return value, adv, err
+
+        def nat2int(v):
+            return _i32(v >> 1) ^ -(_i32(v & 1))
+
+        # ------------------------------------------------------ init
+        b0, b1, b2 = zu, zu, zu
+        avail, rp = zi, zi
+        live0 = n_nodes > 0
+        for _ in range(3):
+            b0, b1, b2, avail, rp = refill(b0, b1, b2, avail, rp, live0)
+        b0, b1, b2, avail = consume(b0, b1, b2, avail,
+                                    jnp.where(live0, bit0, 0))
+
+        st0 = jnp.where(live0, ST_OUTD, ST_DONE)
+
+        carry0 = dict(
+            step=jnp.int32(0), st=st0, node=zi, x=base, err=zi,
+            b0=b0, b1=b1, b2=b2, avail=avail, rp=rp,
+            wcur=zi, nrow=zi, d=zi, ref=zi, e_rem=zi, cop=zi,
+            bc=zi, blk_i=zi, blk_tot=zi, blk_cop=zi, blk0=zi,
+            icnt=zi, i_idx=zi, iprev=zi, ileft=zi, extra=zi,
+            ref_row=zi, ref_len=zi,
+            c_rem=zi, c_idx=zi, krem=zi, bj=zi, c_val=zi,
+            iv=zi, ilen_rem=zi, i_next=zi,
+            r_rem=zi, r_val=zi,
+        )
+        keys = tuple(sorted(carry0.keys()))
+
+        def unpack(c):
+            return dict(zip(keys, c))
+
+        def pack(d):
+            return tuple(d[k] for k in keys)
+
+        def body(cc):
+            g = unpack(cc)
+            st = g["st"]
+            err = g["err"]
+
+            # -- refill + stall gate
+            b0, b1, b2, avail, rp = refill(
+                g["b0"], g["b1"], g["b2"], g["avail"], g["rp"],
+                st != ST_DONE)
+            can = (st != ST_DONE) & (avail >= 64)
+
+            m_outd = can & (st == ST_OUTD)
+            m_ref = can & (st == ST_REF)
+            m_bc = can & (st == ST_BC)
+            m_blk = can & (st == ST_BLK)
+            m_icnt = can & (st == ST_ICNT)
+            m_ileft = can & (st == ST_ILEFT)
+            m_ilen = can & (st == ST_ILEN)
+            m_resf = can & (st == ST_RESF)
+            m_emit = can & (st == ST_EMIT)
+
+            # -- EMIT winner selection (current heads; reads happen below)
+            cval = jnp.where(g["c_rem"] > 0, g["c_val"], INT_INF)
+            ival = jnp.where(g["ilen_rem"] > 0, g["iv"], INT_INF)
+            rv = jnp.where(g["r_rem"] > 0, g["r_val"], INT_INF)
+            win_c = m_emit & (cval <= ival) & (cval <= rv)
+            win_i = m_emit & ~win_c & (ival <= rv)
+            win_r = m_emit & ~win_c & ~win_i & (rv < INT_INF)
+            emit_en = win_c | win_i | win_r
+            emit_val = jnp.where(win_c, cval, jnp.where(win_i, ival, rv))
+            err = err | jnp.where(m_emit & ~emit_en, E_COUNT, 0)
+
+            # -- shared code read
+            kind = zi
+            for mm, kk in ((m_outd, state_kind[ST_OUTD]),
+                           (m_ref, state_kind[ST_REF]),
+                           (m_bc, state_kind[ST_BC]),
+                           (m_blk, state_kind[ST_BLK]),
+                           (m_icnt, state_kind[ST_ICNT]),
+                           (m_ileft, state_kind[ST_ILEFT]),
+                           (m_ilen, state_kind[ST_ILEN]),
+                           (m_resf, state_kind[ST_RESF])):
+                if kk != K_NONE:
+                    kind = jnp.where(mm, kk, kind)
+            read_res = win_r & (g["r_rem"] > 1)
+            kind = jnp.where(read_res, spec.residual_coding, kind)
+            value, adv, err = read_code(b0, b1, b2, kind, err)
+            b0, b1, b2, avail = consume(b0, b1, b2, avail, adv)
+            vi = _i32(value)
+
+            d = g["d"]
+            ref = g["ref"]
+            x = g["x"]
+            extra = g["extra"]
+            cop = g["cop"]
+            nst = st
+
+            # -- ST_OUTD: outdegree
+            d = jnp.where(m_outd, vi, d)
+            done_d0 = m_outd & (d == 0)
+            go_ref = m_outd & (d > 0)
+            if W > 0:
+                nst = jnp.where(go_ref, ST_REF, nst)
+                setup = jnp.zeros_like(m_outd)
+            else:
+                setup = go_ref
+                cop = jnp.where(go_ref, 0, cop)
+                ref = jnp.where(go_ref, 0, ref)
+
+            # -- ST_REF: reference
+            if W > 0:
+                ref = jnp.where(m_ref, vi, ref)
+                has_ref = m_ref & (ref > 0)
+                # referenced node's list: outdegree + output row from window
+                slot = jnp.where(has_ref, (x - ref) % CYC, 0)
+                wd, wr = win_read(slot, has_ref)
+                ref_len = jnp.where(has_ref, wd, g["ref_len"])
+                ref_row = jnp.where(has_ref, wr, g["ref_row"])
+                nst = jnp.where(has_ref, ST_BC, nst)
+                setup = setup | (m_ref & (ref == 0))
+                cop = jnp.where(m_ref, 0, cop)
+            else:
+                ref_len = g["ref_len"]
+                ref_row = g["ref_row"]
+
+            # -- ST_BC / ST_BLK: copy blocks
+            bc = g["bc"]
+            blk_i = g["blk_i"]
+            blk_tot = g["blk_tot"]
+            blk_cop = g["blk_cop"]
+            blk0 = g["blk0"]
+            if W > 0:
+                bc = jnp.where(m_bc, vi, bc)
+                err = err | jnp.where(m_bc & (bc > BMAX), E_BLK_OVF, 0)
+                bc = jnp.where(m_bc, jnp.minimum(bc, BMAX), bc)
+                blk_i = jnp.where(m_bc, 0, blk_i)
+                blk_tot = jnp.where(m_bc, 0, blk_tot)
+                blk_cop = jnp.where(m_bc, 0, blk_cop)
+                fin_bc0 = m_bc & (bc == 0)
+                # bc == 0 (even): whole reference list copied
+                cop = jnp.where(fin_bc0, ref_len, cop)
+                setup = setup | fin_bc0
+                nst = jnp.where(m_bc & (bc > 0), ST_BLK, nst)
+
+                # one block per step; wire value +1 except the first
+                # (BVGraph.java:1025, :2076)
+                bval = jnp.where(blk_i == 0, vi, vi + 1)
+                blk_wm = (rows_B == jnp.where(m_blk, blk_i, -1)[None])
+                blkbuf[:] = jnp.where(blk_wm, bval[None], blkbuf[:])
+                blk0 = jnp.where(m_blk & (blk_i == 0), bval, blk0)
+                blk_tot = jnp.where(m_blk, blk_tot + bval, blk_tot)
+                blk_cop = jnp.where(m_blk & (blk_i % 2 == 0),
+                                    blk_cop + bval, blk_cop)
+                blk_i = jnp.where(m_blk, blk_i + 1, blk_i)
+                fin_blk = m_blk & (blk_i == bc)
+                # even block count: implicit tail copy (BVGraph.java:1030)
+                cop = jnp.where(
+                    fin_blk,
+                    blk_cop + jnp.where(bc % 2 == 0, ref_len - blk_tot, 0),
+                    cop)
+                setup = setup | fin_blk
+
+            # -- setup_extra: route to intervals / residuals / emit
+            extra = jnp.where(setup, d - cop, extra)
+            err = err | jnp.where(setup & (extra < 0), E_COUNT, 0)
+            init_emit = jnp.zeros_like(setup)
+            icnt = jnp.where(setup, 0, g["icnt"])
+            if MININT:
+                to_icnt = setup & (extra > 0)
+                nst = jnp.where(to_icnt, ST_ICNT, nst)
+                to_resf0 = jnp.zeros_like(setup)
+            else:
+                to_resf0 = setup & (extra > 0)
+            init_emit = init_emit | (setup & (extra == 0))
+
+            # -- ST_ICNT / ST_ILEFT / ST_ILEN: intervals
+            i_idx = g["i_idx"]
+            iprev = g["iprev"]
+            ileft = g["ileft"]
+            if MININT:
+                icnt = jnp.where(m_icnt, vi, icnt)
+                err = err | jnp.where(m_icnt & (icnt > IMAX), E_INT_OVF, 0)
+                icnt = jnp.where(m_icnt, jnp.minimum(icnt, IMAX), icnt)
+                i_idx = jnp.where(m_icnt, 0, i_idx)
+                nst = jnp.where(m_icnt & (icnt > 0), ST_ILEFT, nst)
+                to_resf0 = to_resf0 | (m_icnt & (icnt == 0))
+
+                # left extreme: first int2nat(gamma)+x, later gap+prev+1
+                # (BVGraph.java:1040-1059)
+                lf = jnp.where(i_idx == 0, nat2int(value) + x,
+                               vi + iprev + 1)
+                ileft = jnp.where(m_ileft, lf, ileft)
+                nst = jnp.where(m_ileft, ST_ILEN, nst)
+
+                ln = vi + MININT
+                iw0 = (rows_I == jnp.where(m_ilen, 2 * i_idx, -1)[None])
+                iw1 = (rows_I == jnp.where(m_ilen, 2 * i_idx + 1, -1)[None])
+                intbuf[:] = jnp.where(iw0, ileft[None],
+                                      jnp.where(iw1, ln[None], intbuf[:]))
+                iprev = jnp.where(m_ilen, ileft + ln, iprev)
+                extra = jnp.where(m_ilen, extra - ln, extra)
+                err = err | jnp.where(m_ilen & (extra < 0), E_COUNT, 0)
+                i_idx = jnp.where(m_ilen, i_idx + 1, i_idx)
+                fin_int = m_ilen & (i_idx == icnt)
+                nst = jnp.where(m_ilen & ~fin_int, ST_ILEFT, nst)
+                to_resf = to_resf0 | (fin_int & (extra > 0))
+                init_emit = init_emit | (fin_int & (extra <= 0))
+            else:
+                to_resf = to_resf0
+
+            nst = jnp.where(to_resf, ST_RESF, nst)
+
+            # -- ST_RESF: first residual
+            r_val = g["r_val"]
+            r_rem = g["r_rem"]
+            r_val = jnp.where(m_resf, nat2int(value) + x, r_val)
+            r_rem = jnp.where(m_resf, extra, jnp.where(init_emit, 0, r_rem))
+            init_emit = init_emit | m_resf
+            nst = jnp.where(init_emit, ST_EMIT, nst)
+
+            # ================= EMIT advances + init =================
+            c_rem = g["c_rem"]
+            c_idx = g["c_idx"]
+            krem = g["krem"]
+            bj = g["bj"]
+            c_val = g["c_val"]
+            iv = g["iv"]
+            ilen_rem = g["ilen_rem"]
+            i_next = g["i_next"]
+
+            # residual advance
+            r_rem = jnp.where(win_r, r_rem - 1, r_rem)
+            r_val = jnp.where(read_res, r_val + vi + 1, r_val)
+
+            # interval advance
+            ilen_rem = jnp.where(win_i, ilen_rem - 1, ilen_rem)
+            iv = jnp.where(win_i, iv + 1, iv)
+            itrans = win_i & (ilen_rem == 0) & (i_next < icnt)
+            ilen_rem = jnp.where(init_emit, 0, ilen_rem)
+            i_next = jnp.where(init_emit, 0, i_next)
+            if MININT:
+                iinit = init_emit & (icnt > 0)
+            else:
+                iinit = jnp.zeros_like(init_emit)
+            i_sel = jnp.where(iinit, 0, i_next)
+            iread = itrans | iinit
+            nl, nn = buf_pair_read(intbuf, rows_I, 2 * i_sel, 2 * i_sel + 1,
+                                   iread)
+            iv = jnp.where(iread, nl, iv)
+            ilen_rem = jnp.where(iread, nn, ilen_rem)
+            i_next = jnp.where(iread, i_sel + 1, i_next)
+
+            # copy advance
+            c_rem = jnp.where(win_c, c_rem - 1, c_rem)
+            c_idx = jnp.where(win_c, c_idx + 1, c_idx)
+            krem = jnp.where(win_c, krem - 1, krem)
+            ctrans = win_c & (krem == 0) & (c_rem > 0)
+            c_rem = jnp.where(init_emit, 0, c_rem)
+            # emit-init copy state
+            if W > 0:
+                cinit = init_emit & (ref > 0)
+                c_rem = jnp.where(cinit, cop, c_rem)
+                c_idx = jnp.where(cinit, 0, c_idx)
+                krem = jnp.where(cinit,
+                                 jnp.where(bc > 0, blk0, BIG_RUN), krem)
+                bj = jnp.where(cinit, 0, bj)
+                cinit_skip = cinit & (krem == 0) & (c_rem > 0)
+                # block-run transition: read skip run + next keep run
+                btrans = ctrans | cinit_skip
+                bj_sel = jnp.where(cinit_skip, 0, bj)
+                skip, nkeep = buf_pair_read(blkbuf, rows_B, bj_sel + 1,
+                                            bj_sel + 2, btrans)
+                c_idx = jnp.where(btrans, c_idx + skip, c_idx)
+                krem = jnp.where(btrans,
+                                 jnp.where(bj_sel + 2 < bc, nkeep, BIG_RUN),
+                                 krem)
+                bj = jnp.where(btrans, bj_sel + 2, bj)
+                # copy head (re)load from the lane's own output column
+                creload = (win_c & (c_rem > 0)) | (cinit & (c_rem > 0))
+                hv = out_read(ref_row + c_idx, creload)
+                c_val = jnp.where(creload, hv, c_val)
+            e_rem = jnp.where(init_emit, d, g["e_rem"])
+
+            # -- output write (the emitted successor)
+            wcur = g["wcur"]
+            out_write(wcur, emit_val, emit_en)
+            err = err | jnp.where(emit_en & (wcur >= V), E_WCUR, 0)
+            wcur = jnp.where(emit_en, wcur + 1, wcur)
+            e_rem = jnp.where(emit_en, e_rem - 1, e_rem)
+
+            # -- node completion
+            done_emit = m_emit & emit_en & (e_rem == 0)
+            err = err | jnp.where(
+                done_emit & ((c_rem != 0) | (ilen_rem != 0)
+                             | (i_next != icnt) | (r_rem != 0)),
+                E_COUNT, 0)
+            done_any = done_emit | done_d0
+            # window update (outdegree + output row of the finished node)
+            slot_w = jnp.where(done_any, x % CYC, -1)
+            wm = rows_C == slot_w[None]
+            win_d[:] = jnp.where(wm, d[None], win_d[:])
+            win_row[:] = jnp.where(wm, g["nrow"][None], win_row[:])
+            nrow = jnp.where(done_any, wcur, g["nrow"])
+            node = jnp.where(done_any, g["node"] + 1, g["node"])
+            x = jnp.where(done_any, x + 1, x)
+            nst = jnp.where(done_any,
+                            jnp.where(node >= n_nodes, ST_DONE, ST_OUTD),
+                            nst)
+            # any error: freeze the lane
+            nst = jnp.where(err != 0, ST_DONE, nst)
+
+            g.update(step=g["step"] + 1, st=nst, node=node, x=x, err=err,
+                     b0=b0, b1=b1, b2=b2, avail=avail, rp=rp,
+                     wcur=wcur, nrow=nrow, d=d, ref=ref, e_rem=e_rem,
+                     cop=cop, bc=bc, blk_i=blk_i, blk_tot=blk_tot,
+                     blk_cop=blk_cop, blk0=blk0, icnt=icnt, i_idx=i_idx,
+                     iprev=iprev, ileft=ileft, extra=extra, ref_row=ref_row,
+                     ref_len=ref_len, c_rem=c_rem, c_idx=c_idx, krem=krem,
+                     bj=bj, c_val=c_val, iv=iv, ilen_rem=ilen_rem,
+                     i_next=i_next, r_rem=r_rem, r_val=r_val)
+            return pack(g)
+
+        def cond(cc):
+            g = unpack(cc)
+            return ((g["step"] < spec.max_steps)
+                    & jnp.any(g["st"] != ST_DONE))
+
+        final = unpack(jax.lax.while_loop(cond, body, pack(carry0)))
+        diag_ref[DIAG_ERR] = final["err"] | jnp.where(
+            final["st"] != ST_DONE, E_STEPS, 0)
+        diag_ref[DIAG_WCUR] = final["wcur"]
+        diag_ref[DIAG_NODES] = final["node"]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _run_kernel(meta, col, spec: KernelSpec, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _make_kernel(spec)
+    CYC = spec.window_size + 1
+    NMETA = 4 + CYC
+    grid = (spec.T,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NMETA, 8, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.R, 8, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((spec.V, 8, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DIAG_ROWS, 8, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((spec.T * spec.V, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((spec.T * DIAG_ROWS, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CYC, 8, 128), jnp.int32),       # win_d
+            pltpu.VMEM((CYC, 8, 128), jnp.int32),       # win_row
+            pltpu.VMEM((spec.BMAX, 8, 128), jnp.int32),  # blkbuf
+            pltpu.VMEM((2 * spec.IMAX, 8, 128), jnp.int32),  # intbuf
+        ],
+        interpret=interpret,
+    )(meta, col)
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation: chunking + column layout
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PreparedDecode:
+    """Device-ready decode plan: stream columns + per-lane metadata.
+
+    Built once per graph at load/prepare time (the analogue of the
+    reference's offsets/.obl index construction); `decode()` then runs the
+    kernel, whose per-(tile,lane) output columns are the chunked successor
+    store."""
+
+    spec: KernelSpec
+    meta: jnp.ndarray        # (T * NMETA, 8, 128) int32
+    col: jnp.ndarray         # (T * R, 8, 128) int32
+    n: int
+    m: int
+    chunk_starts: np.ndarray  # int64[L+1] node boundaries
+    parse_starts: np.ndarray  # int64[L] first parsed (halo) node
+    halo_arcs: np.ndarray     # int64[L]
+    cum_arcs: np.ndarray      # int64[n+1]
+    outdegrees: np.ndarray    # int64[n]
+
+    @property
+    def lanes(self) -> int:
+        return self.spec.T * 1024
+
+    def lane_of_node(self, x: int) -> int:
+        return int(np.searchsorted(self.chunk_starts, x, side="right") - 1)
+
+
+def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
+                       settings, data: np.ndarray,
+                       target_arcs_per_lane: int = 512,
+                       max_tiles: int = 64,
+                       bmax: int = 32, imax: int = 32,
+                       ) -> Optional[PreparedDecode]:
+    """Build the lane-chunk plan.  Returns None if the config/scale is
+    outside the kernel's envelope (caller falls back)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    outd = np.asarray(outdegrees, dtype=np.int64)
+    n = len(offsets) - 1
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(outd, out=cum[1:])
+    m = int(cum[n])
+
+    W = settings.window_size
+    maxref = getattr(settings, "max_ref_count", 3)
+    halo_n = W * max(int(maxref), 1) if W > 0 else 0
+
+    L = max(1024, min(max_tiles * 1024,
+                      1 << int(np.ceil(np.log2(max(m, 1)
+                                               / target_arcs_per_lane + 1)))))
+    T = L // 1024
+
+    # arc-balanced chunk boundaries (searchsorted over cumulative arcs), the
+    # arc-balancing analogue of EliasFanoCumulativeOutdegreeList chunking
+    targets = (m * np.arange(1, L, dtype=np.int64)) // L
+    bounds = np.empty(L + 1, dtype=np.int64)
+    bounds[0] = 0
+    bounds[1:L] = np.searchsorted(cum, targets, side="left")
+    bounds[L] = n
+    bounds = np.maximum.accumulate(bounds)
+
+    starts = bounds[:L]
+    ends = bounds[1:]
+    p = np.maximum(starts - halo_n, 0)
+    empty = starts == ends
+    p = np.where(empty, starts, p)
+
+    start_bits = offsets[p]
+    end_bits = offsets[ends]
+    w0 = start_bits >> 5
+    nwords = np.where(empty, 0, (end_bits + 31) // 32 - w0)
+    R = int(nwords.max()) + 2 if L else 2
+    V = int((cum[ends] - cum[p]).max()) + 1 if L else 1
+
+    # stream words, 32-bit big-endian packed
+    words = pack_words_u32(data)
+    col = np.zeros((L, R), dtype=np.uint32)
+    for i in range(L):
+        c = int(nwords[i])
+        if c:
+            col[i, :c] = words[w0[i]:w0[i] + c]
+
+    CYC = W + 1
+    NMETA = 4 + CYC
+    meta = np.zeros((L, NMETA), dtype=np.int32)
+    meta[:, 0] = np.where(empty, 0, ends - p)
+    meta[:, 1] = (start_bits - (w0 << 5)).astype(np.int32)
+    meta[:, 2] = p.astype(np.int32)
+    meta[:, 3] = (starts - p).astype(np.int32)  # halo node count
+    # initial window slots: outdegrees of nodes p-1 .. p-W at slot y % CYC
+    # (needed so halo-node parses can size the implicit tail copy even when
+    # the referenced node precedes the halo, BVGraph.java:1028-1030)
+    lanes_idx = np.arange(L)
+    for j in range(1, CYC):
+        y = p - j
+        ok = (y >= 0) & ~empty
+        if not ok.any():
+            continue
+        slots = (y[ok] % CYC).astype(np.int64)
+        meta[lanes_idx[ok], 4 + slots] = outd[y[ok]].astype(np.int32)
+
+    spec = KernelSpec(
+        window_size=W,
+        min_interval_length=settings.min_interval_length,
+        zeta_k=settings.zeta_k,
+        outdegree_coding=settings.outdegree_coding,
+        reference_coding=settings.reference_coding,
+        block_count_coding=settings.block_count_coding,
+        block_coding=settings.block_coding,
+        residual_coding=settings.residual_coding,
+        R=R, V=V, T=T, BMAX=bmax, IMAX=imax,
+        max_steps=int(4 * V + 10 * int((ends - p).max(initial=1)) + 64),
+    )
+    if not spec.supported():
+        return None
+    if n >= (1 << 31) or offsets[-1] >= (1 << 36):
+        return None
+
+    meta_dev = jnp.asarray(np.ascontiguousarray(
+        meta.reshape(T, 1024, NMETA).transpose(0, 2, 1)).reshape(
+            T * NMETA, 8, 128))
+    col_dev = jnp.asarray(np.ascontiguousarray(
+        col.reshape(T, 1024, R).transpose(0, 2, 1)).reshape(
+            T * R, 8, 128).view(np.int32))
+    halo_arcs = cum[starts] - cum[p]
+    return PreparedDecode(spec=spec, meta=meta_dev, col=col_dev, n=n, m=m,
+                          chunk_starts=bounds, parse_starts=p,
+                          halo_arcs=halo_arcs, cum_arcs=cum,
+                          outdegrees=outd)
+
+
+def decode_chunked(prep: PreparedDecode, interpret: Optional[bool] = None):
+    """Run the kernel.  Returns (out_cols, diag) device arrays:
+    out_cols (T*V, 8, 128) int32, diag (T*DIAG_ROWS, 8, 128) int32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _run_kernel(prep.meta, prep.col, prep.spec, interpret)
+
+
+def chunked_to_csr(prep: PreparedDecode, out_cols) -> Tuple[np.ndarray,
+                                                            np.ndarray]:
+    """Assemble the flat CSR (host-side; used by tests and the API)."""
+    T, V = prep.spec.T, prep.spec.V
+    cols = np.asarray(out_cols).reshape(T, V, 1024).transpose(0, 2, 1)
+    cols = cols.reshape(T * 1024, V)
+    L = prep.lanes
+    succ = np.empty(prep.m, dtype=np.int64)
+    cum = prep.cum_arcs
+    for i in range(L):
+        s, e = prep.chunk_starts[i], prep.chunk_starts[i + 1]
+        if s == e:
+            continue
+        a0, a1 = cum[s], cum[e]
+        h = prep.halo_arcs[i]
+        succ[a0:a1] = cols[i, h:h + (a1 - a0)]
+    return cum.copy(), succ
+
+
+def check_diag(prep: PreparedDecode, diag) -> np.ndarray:
+    """Per-lane error flags (int32[L]); nonzero anywhere means fallback.
+
+    Beyond the kernel's own flags, cross-checks each lane's emitted arc
+    count and completed node count against the offsets-derived expectation —
+    a desynced (corrupt) stream cannot pass both."""
+    T = prep.spec.T
+    d = np.asarray(diag).reshape(T, DIAG_ROWS, 1024)
+    err = d[:, DIAG_ERR, :].reshape(-1).copy()
+    wcur = d[:, DIAG_WCUR, :].reshape(-1)
+    nodes = d[:, DIAG_NODES, :].reshape(-1)
+    cum = prep.cum_arcs
+    starts = prep.chunk_starts[:-1]
+    ends = prep.chunk_starts[1:]
+    p = prep.parse_starts
+    exp_arcs = np.where(starts == ends, 0, cum[ends] - cum[p])
+    exp_nodes = np.where(starts == ends, 0, ends - p)
+    err |= np.where((wcur != exp_arcs) | (nodes != exp_nodes), E_COUNT, 0)
+    return err
