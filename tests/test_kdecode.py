@@ -120,7 +120,9 @@ def test_corrupt_stream_flags(tmp_path):
                       dtype=np.int64)
     data = np.asarray(bv.data).copy()
     data[len(data) // 2:] = 0xFF  # garble the second half
-    prep = K.plan_kernel_decode(bv.offsets, outd, bv.settings, data)
+    exp = g.to_csr()
+    prep = K.plan_kernel_decode(bv.offsets, outd, bv.settings, data,
+                                halo_csr=(exp.offsets, exp.succ))
     _, diag = K.decode_chunked(prep)
     errs = K.check_diag(prep, diag)
     assert errs.any()

@@ -31,6 +31,8 @@ def _load():
         if hasattr(lib, "wg_bv_encode"):
             lib.wg_bv_encode.restype = ctypes.c_int64
             lib.wg_buffer_free.restype = None
+        if hasattr(lib, "wg_bv_decode_range"):
+            lib.wg_bv_decode_range.restype = ctypes.c_int64
         _lib = lib
     return _lib
 
@@ -107,6 +109,43 @@ def bv_decode_all(data: np.ndarray, n: int, m: int, settings) -> tuple:
     if wrote < 0:
         raise RuntimeError(f"native decode failed: {wrote}")
     return csr_off, succ[:wrote]
+
+
+def bv_decode_range(data: np.ndarray, settings, p: int, x0: int, x1: int,
+                    start_bit: int, init_win_outd: np.ndarray,
+                    expected_arcs: int, tail_n: int = 0):
+    """Decode nodes [x0, x1) starting the scan at halo node ``p`` whose bit
+    offset is ``start_bit`` (wg_bv_decode_range).
+
+    Returns (csr_off int64[x1-x0+1], succ int64[arcs], tail_bits int64[tail_n])
+    where tail_bits are the bit offsets of the last tail_n parsed nodes
+    (the next slice's halo start for sequential big-graph scans)."""
+    lib = _load()
+    data = _padded(data)
+    nr = x1 - x0
+    csr_off = np.empty(nr + 1, dtype=np.int64)
+    succ = np.empty(max(expected_arcs, 1), dtype=np.int64)
+    win = np.zeros(max(settings.window_size + 1, 1), dtype=np.int64)
+    win[1:1 + len(init_win_outd)] = init_win_outd
+    tail = np.zeros(max(tail_n, 1), dtype=np.int64)
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding], dtype=np.int32)
+    wrote = lib.wg_bv_decode_range(
+        _ptr(data), ctypes.c_int64(len(data) - 16),
+        ctypes.c_int64(p), ctypes.c_int64(x0), ctypes.c_int64(x1),
+        ctypes.c_int64(start_bit), _ptr(win, ctypes.c_int64),
+        ctypes.c_int(settings.window_size),
+        ctypes.c_int(settings.min_interval_length),
+        ctypes.c_int(settings.zeta_k), _ptr(codings, ctypes.c_int),
+        _ptr(csr_off, ctypes.c_int64), _ptr(succ, ctypes.c_int64),
+        ctypes.c_int64(len(succ)), ctypes.c_int64(tail_n),
+        _ptr(tail, ctypes.c_int64))
+    if wrote < 0:
+        raise RuntimeError(f"native range decode failed: {wrote}")
+    return csr_off, succ[:wrote], tail[:tail_n]
 
 
 #: stats layout returned by bv_encode (mirrors codecs.bvgraph._Encoder):

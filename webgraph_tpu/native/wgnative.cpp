@@ -681,6 +681,136 @@ int64_t wg_bv_decode_all(const uint8_t* data, int64_t len_bytes, int64_t n,
     return wp;
 }
 
+// Sequential BVGraph decode of a node RANGE [x0, x1), starting the scan at
+// a halo node p <= x0 whose bit offset is `start_bit` (the caller computes
+// p = max(x0 - window_size*max_ref_count, 0) from the offsets index; chains
+// from [x0,x1) cannot escape that halo, BVGraph.java:455/:2258).
+// init_win_outd[j] (j=1..window_size) gives outdegree(p - j) (0 if < 0) so
+// halo parses can size implicit tail copies.  Output CSR covers [x0, x1).
+// Returns arcs written or < 0 on error.
+int64_t wg_bv_decode_range(const uint8_t* data, int64_t len_bytes,
+                           int64_t p, int64_t x0, int64_t x1,
+                           int64_t start_bit,
+                           const int64_t* init_win_outd,
+                           int window_size, int min_interval_length,
+                           int zeta_k, const int* codings,
+                           int64_t* csr_off, int64_t* succ,
+                           int64_t succ_capacity,
+                           int64_t tail_n, int64_t* tail_bits) {
+    const int c_out = codings[0], c_ref = codings[1], c_bcnt = codings[2],
+              c_blk = codings[3], c_res = codings[4];
+    BitReader r(data, (size_t)len_bytes);
+    r.pos = (size_t)start_bit;
+    const int cyclic = window_size + 1;
+    std::vector<std::vector<int64_t>> window((size_t)cyclic);
+    std::vector<int64_t> win_len((size_t)cyclic, 0);
+    for (int j = 1; j <= window_size; j++) {
+        int64_t y = p - j;
+        if (y >= 0)
+            win_len[(size_t)(((y % cyclic) + cyclic) % cyclic)] =
+                init_win_outd[j];
+    }
+    std::vector<int64_t> blocks, buf, extras;
+    int64_t wp = 0;
+    csr_off[0] = 0;
+    for (int64_t x = p; x < x1; x++) {
+        // record bit positions of the trailing nodes (the next slice's
+        // halo start offsets for sequential big-graph scans)
+        if (tail_n > 0 && x >= x1 - tail_n)
+            tail_bits[x - (x1 - tail_n)] = (int64_t)r.pos;
+        int64_t d = read_coded(r, c_out, zeta_k);
+        size_t slot = (size_t)(((x % cyclic) + cyclic) % cyclic);
+        std::vector<int64_t>& mine = window[slot];
+        mine.clear();
+        if (d < 0) return -1;
+        if (d > 0) {
+            int64_t ref = -1;
+            if (window_size > 0) ref = read_coded(r, c_ref, zeta_k);
+            int64_t copied = 0;
+            blocks.clear();
+            size_t rslot =
+                (size_t)((((x - (ref > 0 ? ref : 0)) % cyclic) + cyclic)
+                         % cyclic);
+            const std::vector<int64_t>& rl = window[rslot];
+            int64_t rl_len = (ref > 0) ? win_len[rslot] : 0;
+            if (ref > 0) {
+                int64_t bcnt = read_coded(r, c_bcnt, zeta_k);
+                int64_t total = 0;
+                for (int64_t i = 0; i < bcnt; i++) {
+                    int64_t b = read_coded(r, c_blk, zeta_k) + (i ? 1 : 0);
+                    blocks.push_back(b);
+                    total += b;
+                    if (i % 2 == 0) copied += b;
+                }
+                if (bcnt % 2 == 0) copied += rl_len - total;
+                buf.clear();
+                size_t pp = 0;
+                bool keep = true;
+                for (size_t bi = 0; bi < blocks.size(); bi++) {
+                    size_t cnt = (size_t)blocks[bi];
+                    if (keep)
+                        for (size_t j2 = 0; j2 < cnt && pp + j2 < rl.size();
+                             j2++)
+                            buf.push_back(rl[pp + j2]);
+                    pp += cnt;
+                    keep = !keep;
+                }
+                if (blocks.size() % 2 == 0)
+                    for (size_t j2 = pp; j2 < rl.size(); j2++)
+                        buf.push_back(rl[j2]);
+            } else {
+                buf.clear();
+            }
+            int64_t extra = d - copied;
+            extras.clear();
+            if (extra > 0) {
+                if (min_interval_length != 0) {
+                    int64_t icnt = r.read_gamma();
+                    int64_t prev = 0;
+                    for (int64_t i = 0; i < icnt; i++) {
+                        int64_t left;
+                        if (i == 0)
+                            left = prev = nat2int(r.read_gamma()) + x;
+                        else
+                            left = prev = r.read_gamma() + prev + 1;
+                        int64_t ln = r.read_gamma() + min_interval_length;
+                        for (int64_t j2 = 0; j2 < ln; j2++)
+                            extras.push_back(left + j2);
+                        prev += ln;
+                        extra -= ln;
+                    }
+                }
+                if (extra > 0) {
+                    int64_t prev = x + nat2int(read_coded(r, c_res, zeta_k));
+                    extras.push_back(prev);
+                    for (int64_t i = 1; i < extra; i++) {
+                        prev += read_coded(r, c_res, zeta_k) + 1;
+                        extras.push_back(prev);
+                    }
+                }
+            }
+            mine.reserve((size_t)d);
+            mine.insert(mine.end(), buf.begin(), buf.end());
+            mine.insert(mine.end(), extras.begin(), extras.end());
+            std::sort(mine.begin(), mine.end());
+            // halo nodes (x < x0) may have short lists when their own
+            // reference predates the halo; such lists are never reached by
+            // chains from [x0, x1) (chain bound), so only enforce the
+            // count invariant inside the target range
+            if (x >= x0 && (int64_t)mine.size() != d) return -2;
+            if (x >= x0) {
+                if (wp + d > succ_capacity) return -3;
+                std::memcpy(succ + wp, mine.data(),
+                            (size_t)d * sizeof(int64_t));
+                wp += d;
+            }
+        }
+        win_len[slot] = d;
+        if (x >= x0) csr_off[x - x0 + 1] = wp;
+    }
+    return wp;
+}
+
 // Parallel BVGraph encode from CSR arrays.
 //
 // Splits [0, n) into `threads` arc-balanced ranges; each range is encoded

@@ -10,14 +10,14 @@ references *inline* against a per-lane sliding window of already-decoded
 lists (the BVGraphNodeIterator discipline, BVGraph.java:1100-1245), so no
 post-pass reference resolution is needed.
 
-Chunks are independent because reference chains are bounded: every chain
-from a node has length <= max_ref_count with per-hop distance <= window_size
-(BVGraph.java:455, :2258), so decoding starts ``window_size * max_ref_count``
-halo nodes before the chunk (their output is discarded).  Lists whose chains
-escape the halo belong only to halo nodes never referenced by chunk nodes,
-so their (garbage) values are never observed — but their *bit lengths* are
-exact because parsing needs only the referenced node's outdegree, which is
-preloaded for the initial window slots.
+Chunks are independent because copies only ever target the *final* lists of
+the preceding window_size nodes: those halo lists are decoded once at plan
+time (host native decoder — part of index construction, like the
+reference's .obl offsets cache) and preinjected into each lane's output
+column via input_output_aliases, so the kernel neither re-decodes halo
+nodes nor resolves reference chains across chunks.  Lanes whose halo+chunk
+arcs exceed the VMEM column budget (dense hub regions) are skipped and
+decoded by the native host path instead.
 
 Mosaic constraints shape the implementation (experiments/pallas_probe*.py):
 big-table gathers do not lower, so every per-lane random access is a masked
@@ -39,6 +39,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .packed import pack_words_u32
 
@@ -136,14 +138,20 @@ def _make_kernel(spec: KernelSpec):
     kinds_used = tuple(sorted({k for k in state_kind.values()
                                if k != K_NONE}))
 
-    def kernel(meta_ref, col_ref, out_ref, diag_ref,
-               win_d, win_row, blkbuf, intbuf):
+    def kernel(meta_ref, col_ref, init_out_ref, out_ref, diag_ref,
+               win_d, win_row, blkbuf, intbuf, dma_sem):
         zi = jnp.zeros((8, 128), jnp.int32)
         zu = jnp.zeros((8, 128), jnp.uint32)
-        out_ref[:] = jnp.zeros((V, 8, 128), jnp.int32)
+        # halo lists: DMA the HBM-resident init image into the VMEM output
+        # block (input_output_aliases alone leaves the VMEM block
+        # uninitialized — outputs are write-only on real hardware)
+        dma = pltpu.make_async_copy(init_out_ref, out_ref, dma_sem)
+        dma.start()
+        dma.wait()
 
+        V8 = V // 8
         rows_R = jax.lax.broadcasted_iota(jnp.int32, (R, 8, 128), 0)
-        rows_V = jax.lax.broadcasted_iota(jnp.int32, (V, 8, 128), 0)
+        rows_G = jax.lax.broadcasted_iota(jnp.int32, (V8, 8, 128), 0)
         rows_B = jax.lax.broadcasted_iota(jnp.int32, (BMAX, 8, 128), 0)
         rows_I = jax.lax.broadcasted_iota(jnp.int32, (2 * IMAX, 8, 128), 0)
         rows_C = jax.lax.broadcasted_iota(jnp.int32, (CYC, 8, 128), 0)
@@ -151,23 +159,50 @@ def _make_kernel(spec: KernelSpec):
         n_nodes = meta_ref[0]
         bit0 = meta_ref[1]
         base = meta_ref[2]
-        # meta rows 4..4+CYC-1: initial window outdegrees, slot-ordered
+        wcur0 = meta_ref[3]  # halo arc count: chunk output starts here
+        # meta rows 4.. : initial window (outdegree, halo row) per slot
         for s in range(CYC):
-            win_d[s] = meta_ref[4 + s][None][0]
-        win_row[:] = jnp.zeros((CYC, 8, 128), jnp.int32)
+            win_d[s] = meta_ref[4 + s]
+            win_row[s] = meta_ref[4 + CYC + s]
 
         # ------------------------------------------------------ primitives
         def col_word(rp, en):
             m = (rows_R == jnp.where(en, rp, -1)[None])
             return _u32(jnp.sum(jnp.where(m, col_ref[:], 0), axis=0))
 
-        def out_read(row, en):
-            m = (rows_V == jnp.where(en, row, -1)[None])
-            return jnp.sum(jnp.where(m, out_ref[:], 0), axis=0)
+        def out_read(row, en, fw, stw, wcur):
+            """Read output row per lane: flushed rows (< fw) via masked sums
+            over the grouped buffer, unflushed rows from the stage banks."""
+            gsel = row >> 3
+            jsel = row & 7
+            flushed = en & (row < fw)
+            v = jnp.zeros((8, 128), jnp.int32)
+            for j in range(8):
+                mj = rows_G == jnp.where(flushed & (jsel == j), gsel,
+                                         -1)[None]
+                v = v + jnp.sum(jnp.where(mj, out_ref[:, j], 0), axis=0)
+            # stage read-through: rows written since the last flush sweep
+            vs = jnp.zeros((8, 128), jnp.int32)
+            bsel = gsel & 1
+            for b in range(2):
+                for j in range(8):
+                    vs = jnp.where((bsel == b) & (jsel == j), stw[b * 8 + j],
+                                   vs)
+            return jnp.where(flushed, v, vs)
 
-        def out_write(row, val, en):
-            m = (rows_V == row[None]) & en[None]
-            out_ref[:] = jnp.where(m, val[None], out_ref[:])
+        def out_flush(stw, wcur, g0):
+            """Flush both stage banks' groups into the grouped buffer.
+            Rows >= wcur get junk from older groups; they are rewritten by a
+            later flush before ever being read.  Groups < g0 hold the
+            pre-injected halo lists (8-aligned) and are never touched."""
+            gc = wcur >> 3
+            for b in range(2):
+                gb = jnp.where((gc & 1) == b, gc, gc - 1)
+                gb = jnp.where(gb >= g0, gb, -1)
+                for j in range(8):
+                    m = rows_G == gb[None]
+                    out_ref[:, j] = jnp.where(m, stw[b * 8 + j][None],
+                                              out_ref[:, j])
 
         def buf_pair_read(buf, rows_iota, r0, r1, en):
             """Read buf[r0], buf[r1] per lane in one sweep."""
@@ -299,13 +334,15 @@ def _make_kernel(spec: KernelSpec):
         carry0 = dict(
             step=jnp.int32(0), st=st0, node=zi, x=base, err=zi,
             b0=b0, b1=b1, b2=b2, avail=avail, rp=rp,
-            wcur=zi, nrow=zi, d=zi, ref=zi, e_rem=zi, cop=zi,
+            wcur=wcur0, nrow=wcur0, fw=wcur0, d=zi, ref=zi, e_rem=zi,
+            cop=zi,
             bc=zi, blk_i=zi, blk_tot=zi, blk_cop=zi, blk0=zi,
             icnt=zi, i_idx=zi, iprev=zi, ileft=zi, extra=zi,
             ref_row=zi, ref_len=zi,
             c_rem=zi, c_idx=zi, krem=zi, bj=zi, c_val=zi,
             iv=zi, ilen_rem=zi, i_next=zi,
             r_rem=zi, r_val=zi,
+            **{f"sw{k}": zi for k in range(16)},
         )
         keys = tuple(sorted(carry0.keys()))
 
@@ -552,18 +589,27 @@ def _make_kernel(spec: KernelSpec):
                                  jnp.where(bj_sel + 2 < bc, nkeep, BIG_RUN),
                                  krem)
                 bj = jnp.where(btrans, bj_sel + 2, bj)
-                # copy head (re)load from the lane's own output column
-                creload = (win_c & (c_rem > 0)) | (cinit & (c_rem > 0))
-                hv = out_read(ref_row + c_idx, creload)
-                c_val = jnp.where(creload, hv, c_val)
             e_rem = jnp.where(init_emit, d, g["e_rem"])
 
-            # -- output write (the emitted successor)
+            # -- output write: stage into the (bank, slot) register pair;
+            # groups flush to the buffer every 8 steps (out_flush)
             wcur = g["wcur"]
-            out_write(wcur, emit_val, emit_en)
+            stw = [g[f"sw{k}"] for k in range(16)]
+            slot_j = wcur & 7
+            bank = (wcur >> 3) & 1
+            for b in range(2):
+                for j in range(8):
+                    sel = emit_en & (bank == b) & (slot_j == j)
+                    stw[b * 8 + j] = jnp.where(sel, emit_val, stw[b * 8 + j])
             err = err | jnp.where(emit_en & (wcur >= V), E_WCUR, 0)
             wcur = jnp.where(emit_en, wcur + 1, wcur)
             e_rem = jnp.where(emit_en, e_rem - 1, e_rem)
+
+            if W > 0:
+                # copy head (re)load from the lane's own output column
+                creload = (win_c & (c_rem > 0)) | (cinit & (c_rem > 0))
+                hv = out_read(ref_row + c_idx, creload, g["fw"], stw, wcur)
+                c_val = jnp.where(creload, hv, c_val)
 
             # -- node completion
             done_emit = m_emit & emit_en & (e_rem == 0)
@@ -586,15 +632,25 @@ def _make_kernel(spec: KernelSpec):
             # any error: freeze the lane
             nst = jnp.where(err != 0, ST_DONE, nst)
 
+            # -- periodic stage flush (scalar-predicated: cost only 1/8 of
+            # steps); fw is the per-lane flushed-row watermark
+            flush_now = (g["step"] & 7) == 7
+            fw = jnp.where(flush_now, wcur, g["fw"])
+
+            @pl.when(flush_now)
+            def _():
+                out_flush(stw, wcur, wcur0 >> 3)
+
             g.update(step=g["step"] + 1, st=nst, node=node, x=x, err=err,
                      b0=b0, b1=b1, b2=b2, avail=avail, rp=rp,
-                     wcur=wcur, nrow=nrow, d=d, ref=ref, e_rem=e_rem,
+                     wcur=wcur, nrow=nrow, fw=fw, d=d, ref=ref, e_rem=e_rem,
                      cop=cop, bc=bc, blk_i=blk_i, blk_tot=blk_tot,
                      blk_cop=blk_cop, blk0=blk0, icnt=icnt, i_idx=i_idx,
                      iprev=iprev, ileft=ileft, extra=extra, ref_row=ref_row,
                      ref_len=ref_len, c_rem=c_rem, c_idx=c_idx, krem=krem,
                      bj=bj, c_val=c_val, iv=iv, ilen_rem=ilen_rem,
-                     i_next=i_next, r_rem=r_rem, r_val=r_val)
+                     i_next=i_next, r_rem=r_rem, r_val=r_val,
+                     **{f"sw{k}": stw[k] for k in range(16)})
             return pack(g)
 
         def cond(cc):
@@ -603,6 +659,8 @@ def _make_kernel(spec: KernelSpec):
                     & jnp.any(g["st"] != ST_DONE))
 
         final = unpack(jax.lax.while_loop(cond, body, pack(carry0)))
+        out_flush([final[f"sw{k}"] for k in range(16)], final["wcur"],
+                  wcur0 >> 3)
         diag_ref[DIAG_ERR] = final["err"] | jnp.where(
             final["st"] != ST_DONE, E_STEPS, 0)
         diag_ref[DIAG_WCUR] = final["wcur"]
@@ -612,41 +670,41 @@ def _make_kernel(spec: KernelSpec):
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def _run_kernel(meta, col, spec: KernelSpec, interpret: bool = False):
+def _run_tile(meta, col, init_out, spec: KernelSpec,
+              interpret: bool = False):
+    """One 8x128-lane tile (single-buffered full-array blocks in VMEM;
+    sequential per-tile dispatches replace a grid so the column budget is
+    not halved by Mosaic's block double-buffering)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = _make_kernel(spec)
-    CYC = spec.window_size + 1
-    NMETA = 4 + CYC
-    grid = (spec.T,)
     return pl.pallas_call(
         kernel,
-        grid=grid,
         in_specs=[
-            pl.BlockSpec((NMETA, 8, 128), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((spec.R, 8, 128), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((spec.V, 8, 128), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((DIAG_ROWS, 8, 128), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((spec.T * spec.V, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((spec.T * DIAG_ROWS, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((spec.V // 8, 8, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((DIAG_ROWS, 8, 128), jnp.int32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[
-            pltpu.VMEM((CYC, 8, 128), jnp.int32),       # win_d
-            pltpu.VMEM((CYC, 8, 128), jnp.int32),       # win_row
-            pltpu.VMEM((spec.BMAX, 8, 128), jnp.int32),  # blkbuf
+            pltpu.VMEM((spec.window_size + 1, 8, 128), jnp.int32),  # win_d
+            pltpu.VMEM((spec.window_size + 1, 8, 128), jnp.int32),  # win_row
+            pltpu.VMEM((spec.BMAX, 8, 128), jnp.int32),   # blkbuf
             pltpu.VMEM((2 * spec.IMAX, 8, 128), jnp.int32),  # intbuf
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(meta, col)
+    )(meta, col, init_out)
 
 
 # ---------------------------------------------------------------------------
@@ -656,40 +714,46 @@ def _run_kernel(meta, col, spec: KernelSpec, interpret: bool = False):
 
 @dataclasses.dataclass
 class PreparedDecode:
-    """Device-ready decode plan: stream columns + per-lane metadata.
+    """Device-ready decode plan: stream columns + per-lane metadata + halo
+    lists pre-packed into the output-column image.
 
     Built once per graph at load/prepare time (the analogue of the
-    reference's offsets/.obl index construction); `decode()` then runs the
-    kernel, whose per-(tile,lane) output columns are the chunked successor
-    store."""
+    reference's offsets/.obl index construction; includes one host decode
+    for the halo lists).  `decode_chunked` then runs the kernel per tile;
+    the per-lane output columns are the chunked successor store."""
 
     spec: KernelSpec
-    meta: jnp.ndarray        # (T * NMETA, 8, 128) int32
-    col: jnp.ndarray         # (T * R, 8, 128) int32
+    meta: jnp.ndarray        # (T, NMETA, 8, 128) int32
+    col: jnp.ndarray         # (T, R, 8, 128) int32
+    init_out: jnp.ndarray    # (T, V, 8, 128) int32 (halo lists at rows < H)
     n: int
     m: int
     chunk_starts: np.ndarray  # int64[L+1] node boundaries
-    parse_starts: np.ndarray  # int64[L] first parsed (halo) node
-    halo_arcs: np.ndarray     # int64[L]
+    halo_arcs: np.ndarray     # int64[L] rows occupied by halo lists
     cum_arcs: np.ndarray      # int64[n+1]
     outdegrees: np.ndarray    # int64[n]
+    skipped: np.ndarray       # bool[L]: lanes outside the VMEM envelope
+    offsets: np.ndarray       # int64[n+1] bit offsets (native fallback)
 
     @property
     def lanes(self) -> int:
         return self.spec.T * 1024
 
-    def lane_of_node(self, x: int) -> int:
-        return int(np.searchsorted(self.chunk_starts, x, side="right") - 1)
-
 
 def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        settings, data: np.ndarray,
-                       target_arcs_per_lane: int = 512,
-                       max_tiles: int = 64,
+                       halo_csr: Optional[Tuple[np.ndarray, np.ndarray]]
+                       = None,
+                       target_arcs_per_lane: int = 1024,
+                       v_cap: int = 2048, r_cap: int = 640,
                        bmax: int = 32, imax: int = 32,
                        ) -> Optional[PreparedDecode]:
     """Build the lane-chunk plan.  Returns None if the config/scale is
-    outside the kernel's envelope (caller falls back)."""
+    outside the kernel's envelope (caller falls back).
+
+    ``halo_csr``: (csr_off, succ) arrays giving every node's final list,
+    used only to extract each chunk's window_size predecessor lists.  When
+    None, the native host decoder produces them (one-time plan cost)."""
     offsets = np.asarray(offsets, dtype=np.int64)
     outd = np.asarray(outdegrees, dtype=np.int64)
     n = len(offsets) - 1
@@ -698,10 +762,8 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     m = int(cum[n])
 
     W = settings.window_size
-    maxref = getattr(settings, "max_ref_count", 3)
-    halo_n = W * max(int(maxref), 1) if W > 0 else 0
 
-    L = max(1024, min(max_tiles * 1024,
+    L = max(1024, min(1024 * 1024,
                       1 << int(np.ceil(np.log2(max(m, 1)
                                                / target_arcs_per_lane + 1)))))
     T = L // 1024
@@ -717,43 +779,23 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
 
     starts = bounds[:L]
     ends = bounds[1:]
-    p = np.maximum(starts - halo_n, 0)
     empty = starts == ends
-    p = np.where(empty, starts, p)
+    hstarts = np.maximum(starts - W, 0)
+    # halo rows padded to a multiple of 8: the stage-flush machinery works
+    # on 8-row groups and must never touch the pre-injected halo groups
+    halo_arcs = (cum[starts] - cum[hstarts] + 7) & ~np.int64(7)
 
-    start_bits = offsets[p]
+    start_bits = offsets[starts]
     end_bits = offsets[ends]
     w0 = start_bits >> 5
     nwords = np.where(empty, 0, (end_bits + 31) // 32 - w0)
-    R = int(nwords.max()) + 2 if L else 2
-    V = int((cum[ends] - cum[p]).max()) + 1 if L else 1
+    need_v = halo_arcs + (cum[ends] - cum[starts]) + 1
+    skipped = (~empty) & ((need_v > v_cap) | (nwords > r_cap - 2))
+    active = (~empty) & ~skipped
 
-    # stream words, 32-bit big-endian packed
-    words = pack_words_u32(data)
-    col = np.zeros((L, R), dtype=np.uint32)
-    for i in range(L):
-        c = int(nwords[i])
-        if c:
-            col[i, :c] = words[w0[i]:w0[i] + c]
-
-    CYC = W + 1
-    NMETA = 4 + CYC
-    meta = np.zeros((L, NMETA), dtype=np.int32)
-    meta[:, 0] = np.where(empty, 0, ends - p)
-    meta[:, 1] = (start_bits - (w0 << 5)).astype(np.int32)
-    meta[:, 2] = p.astype(np.int32)
-    meta[:, 3] = (starts - p).astype(np.int32)  # halo node count
-    # initial window slots: outdegrees of nodes p-1 .. p-W at slot y % CYC
-    # (needed so halo-node parses can size the implicit tail copy even when
-    # the referenced node precedes the halo, BVGraph.java:1028-1030)
-    lanes_idx = np.arange(L)
-    for j in range(1, CYC):
-        y = p - j
-        ok = (y >= 0) & ~empty
-        if not ok.any():
-            continue
-        slots = (y[ok] % CYC).astype(np.int64)
-        meta[lanes_idx[ok], 4 + slots] = outd[y[ok]].astype(np.int32)
+    V = int(min(v_cap, need_v[active].max() if active.any() else 8))
+    V = (V + 7) & ~7
+    R = int(min(r_cap, (nwords[active].max() + 2) if active.any() else 2))
 
     spec = KernelSpec(
         window_size=W,
@@ -765,51 +807,137 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         block_coding=settings.block_coding,
         residual_coding=settings.residual_coding,
         R=R, V=V, T=T, BMAX=bmax, IMAX=imax,
-        max_steps=int(4 * V + 10 * int((ends - p).max(initial=1)) + 64),
+        max_steps=int(3 * V + 10 * int((ends - starts)[active].max()
+                                       if active.any() else 1) + 64),
     )
     if not spec.supported():
         return None
-    if n >= (1 << 31) or offsets[-1] >= (1 << 36):
+    if n >= (1 << 31):
         return None
 
-    meta_dev = jnp.asarray(np.ascontiguousarray(
-        meta.reshape(T, 1024, NMETA).transpose(0, 2, 1)).reshape(
-            T * NMETA, 8, 128))
-    col_dev = jnp.asarray(np.ascontiguousarray(
-        col.reshape(T, 1024, R).transpose(0, 2, 1)).reshape(
-            T * R, 8, 128).view(np.int32))
-    halo_arcs = cum[starts] - cum[p]
-    return PreparedDecode(spec=spec, meta=meta_dev, col=col_dev, n=n, m=m,
-                          chunk_starts=bounds, parse_starts=p,
-                          halo_arcs=halo_arcs, cum_arcs=cum,
-                          outdegrees=outd)
+    # halo lists: every chunk needs the final lists of its W predecessors
+    if W > 0 and active.any():
+        if halo_csr is None:
+            from .. import native as _native
+            if not _native.available():
+                return None
+            hco, hsu = _native.bv_decode_all(data, n, m, settings)
+        else:
+            hco, hsu = halo_csr
+    else:
+        hco = cum
+        hsu = np.zeros(0, dtype=np.int64)
+
+    # stream words, 32-bit big-endian packed
+    words = pack_words_u32(data)
+    col = np.zeros((L, R), dtype=np.uint32)
+    init_out = np.zeros((L, V), dtype=np.int32)
+    CYC = W + 1
+    NMETA = 4 + 2 * CYC
+    meta = np.zeros((L, NMETA), dtype=np.int32)
+    meta[:, 0] = np.where(active, ends - starts, 0)
+    meta[:, 1] = (start_bits - (w0 << 5)).astype(np.int32)
+    meta[:, 2] = starts.astype(np.int32)
+    meta[:, 3] = np.where(active, halo_arcs, 0).astype(np.int32)
+    for i in np.flatnonzero(active):
+        c = int(nwords[i])
+        col[i, :c] = words[w0[i]:w0[i] + c]
+        h = 0
+        s = int(starts[i])
+        for y in range(max(s - W, 0), s):
+            dy = int(outd[y])
+            meta[i, 4 + (y % CYC)] = dy
+            meta[i, 4 + CYC + (y % CYC)] = h
+            init_out[i, h:h + dy] = hsu[hco[y]:hco[y] + dy]
+            h += dy
+
+    def to_tiles(a, rows):
+        return jnp.asarray(np.ascontiguousarray(
+            a.reshape(T, 1024, rows).transpose(0, 2, 1)).reshape(
+                T, rows, 8, 128))
+
+    # output columns are stored grouped: row r lives at [r//8, r%8, lane]
+    init4 = jnp.asarray(np.ascontiguousarray(
+        init_out.reshape(T, 1024, V // 8, 8).transpose(0, 2, 3, 1)).reshape(
+            T, V // 8, 8, 8, 128))
+
+    return PreparedDecode(
+        spec=spec, meta=to_tiles(meta, NMETA),
+        col=to_tiles(col.view(np.int32), R),
+        init_out=init4, n=n, m=m,
+        chunk_starts=bounds, halo_arcs=halo_arcs, cum_arcs=cum,
+        outdegrees=outd, skipped=skipped, offsets=offsets)
 
 
 def decode_chunked(prep: PreparedDecode, interpret: Optional[bool] = None):
-    """Run the kernel.  Returns (out_cols, diag) device arrays:
-    out_cols (T*V, 8, 128) int32, diag (T*DIAG_ROWS, 8, 128) int32."""
+    """Run the kernel over all tiles.  Returns (out_cols, diag) device
+    arrays: out_cols (T, V, 8, 128) int32, diag (T, DIAG_ROWS, 8, 128)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _run_kernel(prep.meta, prep.col, prep.spec, interpret)
+    outs, diags = [], []
+    for t in range(prep.spec.T):
+        o, dg = _run_tile(prep.meta[t], prep.col[t], prep.init_out[t],
+                          prep.spec, interpret)
+        outs.append(o)
+        diags.append(dg)
+    return jnp.stack(outs), jnp.stack(diags)
 
 
-def chunked_to_csr(prep: PreparedDecode, out_cols) -> Tuple[np.ndarray,
-                                                            np.ndarray]:
-    """Assemble the flat CSR (host-side; used by tests and the API)."""
+def chunked_to_csr(prep: PreparedDecode, out_cols,
+                   data: Optional[np.ndarray] = None,
+                   settings=None,
+                   errs: Optional[np.ndarray] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Assemble the flat CSR (host-side; used by tests and the API).
+
+    Skipped lanes (outside the VMEM envelope) and error-flagged lanes
+    (scratch overflow on extreme nodes) are filled by the native host range
+    decoder when ``data``/``settings`` are given."""
     T, V = prep.spec.T, prep.spec.V
-    cols = np.asarray(out_cols).reshape(T, V, 1024).transpose(0, 2, 1)
-    cols = cols.reshape(T * 1024, V)
+    cols = np.asarray(out_cols).reshape(T, V // 8, 8, 1024)
+    cols = cols.transpose(0, 3, 1, 2).reshape(T * 1024, V)
     L = prep.lanes
+    bad = prep.skipped.copy()
+    if errs is not None:
+        bad |= errs != 0
     succ = np.empty(prep.m, dtype=np.int64)
     cum = prep.cum_arcs
     for i in range(L):
         s, e = prep.chunk_starts[i], prep.chunk_starts[i + 1]
-        if s == e:
+        if s == e or bad[i]:
             continue
         a0, a1 = cum[s], cum[e]
         h = prep.halo_arcs[i]
         succ[a0:a1] = cols[i, h:h + (a1 - a0)]
+    if bad.any():
+        if data is None or settings is None:
+            raise ValueError("skipped/error lanes need data/settings for "
+                             "the native fallback")
+        fill_lanes(prep, bad, succ, data, settings)
     return cum.copy(), succ
+
+
+def fill_lanes(prep: PreparedDecode, lanes_mask: np.ndarray,
+               succ: np.ndarray, data: np.ndarray, settings,
+               offsets=None) -> None:
+    """Native host decode of the masked lanes (hub regions / overflow)."""
+    from .. import native as _native
+
+    W = settings.window_size
+    maxref = getattr(settings, "max_ref_count", 3)
+    halo_n = W * max(int(maxref), 1) if W > 0 else 0
+    cum = prep.cum_arcs
+    offs = prep.offsets if offsets is None else offsets
+    for i in np.flatnonzero(lanes_mask):
+        s, e = int(prep.chunk_starts[i]), int(prep.chunk_starts[i + 1])
+        if s == e:
+            continue
+        p = max(s - halo_n, 0)
+        init = prep.outdegrees[max(p - W, 0):p][::-1]
+        co, su, _ = _native.bv_decode_range(
+            data, settings, p, s, e, int(offs[p]), init,
+            int(cum[e] - cum[s]))
+        succ[cum[s]:cum[e]] = su
 
 
 def check_diag(prep: PreparedDecode, diag) -> np.ndarray:
@@ -826,8 +954,8 @@ def check_diag(prep: PreparedDecode, diag) -> np.ndarray:
     cum = prep.cum_arcs
     starts = prep.chunk_starts[:-1]
     ends = prep.chunk_starts[1:]
-    p = prep.parse_starts
-    exp_arcs = np.where(starts == ends, 0, cum[ends] - cum[p])
-    exp_nodes = np.where(starts == ends, 0, ends - p)
+    live = (starts != ends) & ~prep.skipped
+    exp_arcs = np.where(live, cum[ends] - cum[starts] + prep.halo_arcs, 0)
+    exp_nodes = np.where(live, ends - starts, 0)
     err |= np.where((wcur != exp_arcs) | (nodes != exp_nodes), E_COUNT, 0)
     return err
