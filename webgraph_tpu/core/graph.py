@@ -235,6 +235,18 @@ def load(basename: str, mode: str = "standard") -> ImmutableGraph:
     gc = gc.replace("class ", "").strip()
     cls = GRAPH_CLASS_REGISTRY.get(gc)
     if cls is None:
+        # codec classes register themselves on import; pull them in lazily so
+        # `core.graph.load` works without the caller importing codecs first
+        import importlib
+
+        for mod in ("codecs.bvgraph", "codecs.efgraph", "codecs.ascii",
+                    "codecs.intlist", "labelling.graph"):
+            try:
+                importlib.import_module(f"webgraph_tpu.{mod}")
+            except ImportError:  # pragma: no cover - optional codec deps
+                pass
+        cls = GRAPH_CLASS_REGISTRY.get(gc)
+    if cls is None:
         raise IOError(f"Unknown graphclass {gc!r} for basename {basename!r}")
     return cls.load(basename, mode=mode)
 

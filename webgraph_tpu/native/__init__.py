@@ -33,6 +33,8 @@ def _load():
             lib.wg_buffer_free.restype = None
         if hasattr(lib, "wg_bv_decode_range"):
             lib.wg_bv_decode_range.restype = ctypes.c_int64
+        if hasattr(lib, "wg_bv_decode_all_refs"):
+            lib.wg_bv_decode_all_refs.restype = ctypes.c_int64
         _lib = lib
     return _lib
 
@@ -111,17 +113,47 @@ def bv_decode_all(data: np.ndarray, n: int, m: int, settings) -> tuple:
     return csr_off, succ[:wrote]
 
 
+def bv_decode_all_refs(data: np.ndarray, n: int, m: int, settings) -> tuple:
+    """Full sequential decode that also records each node's reference value
+    (0 when none): -> (csr_off, succ, refs int32[n])."""
+    lib = _load()
+    data = _padded(data)
+    csr_off = np.empty(n + 1, dtype=np.int64)
+    succ = np.empty(max(m, 1), dtype=np.int64)
+    refs = np.zeros(max(n, 1), dtype=np.int32)
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding], dtype=np.int32)
+    wrote = lib.wg_bv_decode_all_refs(
+        _ptr(data), ctypes.c_int64(len(data) - 16), ctypes.c_int64(n),
+        ctypes.c_int(settings.window_size),
+        ctypes.c_int(settings.min_interval_length),
+        ctypes.c_int(settings.zeta_k),
+        _ptr(codings, ctypes.c_int), _ptr(csr_off, ctypes.c_int64),
+        _ptr(succ, ctypes.c_int64), ctypes.c_int64(len(succ)),
+        _ptr(refs, ctypes.c_int32))
+    if wrote < 0:
+        raise RuntimeError(f"native decode failed: {wrote}")
+    return csr_off, succ[:wrote], refs[:n]
+
+
 def bv_decode_range(data: np.ndarray, settings, p: int, x0: int, x1: int,
                     start_bit: int, init_win_outd: np.ndarray,
-                    expected_arcs: int, tail_n: int = 0):
+                    expected_arcs: int, tail_n: int = 0,
+                    padded: bool = False):
     """Decode nodes [x0, x1) starting the scan at halo node ``p`` whose bit
     offset is ``start_bit`` (wg_bv_decode_range).
 
     Returns (csr_off int64[x1-x0+1], succ int64[arcs], tail_bits int64[tail_n])
     where tail_bits are the bit offsets of the last tail_n parsed nodes
-    (the next slice's halo start for sequential big-graph scans)."""
+    (the next slice's halo start for sequential big-graph scans).
+    ``padded=True`` promises data already carries >= 16 zero guard bytes
+    (avoids a full copy per call in batched fills)."""
     lib = _load()
-    data = _padded(data)
+    if not padded:
+        data = _padded(data)
     nr = x1 - x0
     csr_off = np.empty(nr + 1, dtype=np.int64)
     succ = np.empty(max(expected_arcs, 1), dtype=np.int64)

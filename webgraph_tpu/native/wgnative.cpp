@@ -117,6 +117,25 @@ struct BitReader {
 
 inline int64_t nat2int(int64_t z) { return (int64_t)((uint64_t)z >> 1) ^ -(z & 1); }
 
+// 3-way merge of three sorted, mutually disjoint runs (copied / interval /
+// residual successors) — replaces the per-node std::sort on the hot path.
+inline void merge3(std::vector<int64_t>& out, const std::vector<int64_t>& a,
+                   const std::vector<int64_t>& b,
+                   const std::vector<int64_t>& c) {
+    size_t i = 0, j = 0, k = 0;
+    const size_t na = a.size(), nb = b.size(), nc = c.size();
+    out.resize(na + nb + nc);
+    int64_t* o = out.data();
+    while (i < na || j < nb || k < nc) {
+        int64_t va = i < na ? a[i] : INT64_MAX;
+        int64_t vb = j < nb ? b[j] : INT64_MAX;
+        int64_t vc = k < nc ? c[k] : INT64_MAX;
+        if (va <= vb && va <= vc) { *o++ = va; i++; }
+        else if (vb <= vc) { *o++ = vb; j++; }
+        else { *o++ = vc; k++; }
+    }
+}
+
 constexpr int K_DELTA = 1, K_GAMMA = 2, K_GOLOMB = 3, K_UNARY = 5,
               K_ZETA = 6, K_NIBBLE = 7;
 
@@ -583,6 +602,13 @@ int wg_decode_outdegrees(const uint8_t* data, int64_t len_bytes,
     return 0;
 }
 
+int64_t wg_bv_decode_all_refs(const uint8_t* data, int64_t len_bytes,
+                              int64_t n, int window_size,
+                              int min_interval_length, int zeta_k,
+                              const int* codings, int64_t* csr_off,
+                              int64_t* succ, int64_t succ_capacity,
+                              int32_t* refs_out);
+
 // Full sequential BVGraph decode into CSR arrays.
 // codings: [outdegree, reference, block_count, block, residual]
 // csr_off must hold n+1 entries (filled); succ must hold >= m entries where
@@ -592,12 +618,26 @@ int64_t wg_bv_decode_all(const uint8_t* data, int64_t len_bytes, int64_t n,
                          int window_size, int min_interval_length, int zeta_k,
                          const int* codings, int64_t* csr_off, int64_t* succ,
                          int64_t succ_capacity) {
+    return wg_bv_decode_all_refs(data, len_bytes, n, window_size,
+                                 min_interval_length, zeta_k, codings,
+                                 csr_off, succ, succ_capacity, nullptr);
+}
+
+// As wg_bv_decode_all, but optionally records each node's reference value
+// (0 when none) into refs_out — the planner uses this to pack only the
+// actually-referenced halo lists per chunk.
+int64_t wg_bv_decode_all_refs(const uint8_t* data, int64_t len_bytes,
+                              int64_t n, int window_size,
+                              int min_interval_length, int zeta_k,
+                              const int* codings, int64_t* csr_off,
+                              int64_t* succ, int64_t succ_capacity,
+                              int32_t* refs_out) {
     const int c_out = codings[0], c_ref = codings[1], c_bcnt = codings[2],
               c_blk = codings[3], c_res = codings[4];
     BitReader r(data, (size_t)len_bytes);
     const int cyclic = window_size + 1;
     std::vector<std::vector<int64_t>> window((size_t)cyclic);
-    std::vector<int64_t> blocks, buf, extras;
+    std::vector<int64_t> blocks, buf, ivals, resid;
     int64_t wp = 0;
     csr_off[0] = 0;
     for (int64_t x = 0; x < n; x++) {
@@ -605,9 +645,11 @@ int64_t wg_bv_decode_all(const uint8_t* data, int64_t len_bytes, int64_t n,
         std::vector<int64_t>& mine = window[(size_t)(x % cyclic)];
         mine.clear();
         if (d < 0) return -1;
+        if (refs_out) refs_out[x] = 0;
         if (d > 0) {
             int64_t ref = -1;
             if (window_size > 0) ref = read_coded(r, c_ref, zeta_k);
+            if (refs_out && ref > 0) refs_out[x] = (int32_t)ref;
             int64_t copied = 0;
             blocks.clear();
             if (ref > 0) {
@@ -640,7 +682,8 @@ int64_t wg_bv_decode_all(const uint8_t* data, int64_t len_bytes, int64_t n,
                 buf.clear();
             }
             int64_t extra = d - copied;
-            extras.clear();
+            ivals.clear();
+            resid.clear();
             if (extra > 0) {
                 if (min_interval_length != 0) {
                     int64_t icnt = r.read_gamma();
@@ -652,25 +695,21 @@ int64_t wg_bv_decode_all(const uint8_t* data, int64_t len_bytes, int64_t n,
                         else
                             left = prev = r.read_gamma() + prev + 1;
                         int64_t ln = r.read_gamma() + min_interval_length;
-                        for (int64_t j = 0; j < ln; j++) extras.push_back(left + j);
+                        for (int64_t j = 0; j < ln; j++) ivals.push_back(left + j);
                         prev += ln;
                         extra -= ln;
                     }
                 }
                 if (extra > 0) {
                     int64_t prev = x + nat2int(read_coded(r, c_res, zeta_k));
-                    extras.push_back(prev);
+                    resid.push_back(prev);
                     for (int64_t i = 1; i < extra; i++) {
                         prev += read_coded(r, c_res, zeta_k) + 1;
-                        extras.push_back(prev);
+                        resid.push_back(prev);
                     }
                 }
             }
-            // merge buf (sorted) and extras (two sorted runs) into mine
-            mine.reserve((size_t)d);
-            mine.insert(mine.end(), buf.begin(), buf.end());
-            mine.insert(mine.end(), extras.begin(), extras.end());
-            std::sort(mine.begin(), mine.end());
+            merge3(mine, buf, ivals, resid);
             if ((int64_t)mine.size() != d) return -2;
             if (wp + d > succ_capacity) return -3;
             std::memcpy(succ + wp, mine.data(), (size_t)d * sizeof(int64_t));
@@ -710,7 +749,7 @@ int64_t wg_bv_decode_range(const uint8_t* data, int64_t len_bytes,
             win_len[(size_t)(((y % cyclic) + cyclic) % cyclic)] =
                 init_win_outd[j];
     }
-    std::vector<int64_t> blocks, buf, extras;
+    std::vector<int64_t> blocks, buf, ivals, resid;
     int64_t wp = 0;
     csr_off[0] = 0;
     for (int64_t x = p; x < x1; x++) {
@@ -762,7 +801,8 @@ int64_t wg_bv_decode_range(const uint8_t* data, int64_t len_bytes,
                 buf.clear();
             }
             int64_t extra = d - copied;
-            extras.clear();
+            ivals.clear();
+            resid.clear();
             if (extra > 0) {
                 if (min_interval_length != 0) {
                     int64_t icnt = r.read_gamma();
@@ -775,24 +815,21 @@ int64_t wg_bv_decode_range(const uint8_t* data, int64_t len_bytes,
                             left = prev = r.read_gamma() + prev + 1;
                         int64_t ln = r.read_gamma() + min_interval_length;
                         for (int64_t j2 = 0; j2 < ln; j2++)
-                            extras.push_back(left + j2);
+                            ivals.push_back(left + j2);
                         prev += ln;
                         extra -= ln;
                     }
                 }
                 if (extra > 0) {
                     int64_t prev = x + nat2int(read_coded(r, c_res, zeta_k));
-                    extras.push_back(prev);
+                    resid.push_back(prev);
                     for (int64_t i = 1; i < extra; i++) {
                         prev += read_coded(r, c_res, zeta_k) + 1;
-                        extras.push_back(prev);
+                        resid.push_back(prev);
                     }
                 }
             }
-            mine.reserve((size_t)d);
-            mine.insert(mine.end(), buf.begin(), buf.end());
-            mine.insert(mine.end(), extras.begin(), extras.end());
-            std::sort(mine.begin(), mine.end());
+            merge3(mine, buf, ivals, resid);
             // halo nodes (x < x0) may have short lists when their own
             // reference predates the halo; such lists are never reached by
             // chains from [x0, x1) (chain bound), so only enforce the

@@ -744,16 +744,21 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        settings, data: np.ndarray,
                        halo_csr: Optional[Tuple[np.ndarray, np.ndarray]]
                        = None,
-                       target_arcs_per_lane: int = 1024,
-                       v_cap: int = 2048, r_cap: int = 640,
+                       refs: Optional[np.ndarray] = None,
+                       target_arcs_per_lane: int = 128,
+                       v_cap: int = 512, r_cap: int = 160,
                        bmax: int = 32, imax: int = 32,
                        ) -> Optional[PreparedDecode]:
     """Build the lane-chunk plan.  Returns None if the config/scale is
     outside the kernel's envelope (caller falls back).
 
     ``halo_csr``: (csr_off, succ) arrays giving every node's final list,
-    used only to extract each chunk's window_size predecessor lists.  When
-    None, the native host decoder produces them (one-time plan cost)."""
+    used only to extract each chunk's predecessor lists.  When None, the
+    native host decoder produces them (one-time plan cost).
+    ``refs``: per-node reference values (native bv_decode_all_refs); when
+    given, only the predecessor lists a chunk ACTUALLY references are
+    packed into its halo rows (typically 0-2 lists instead of W), which
+    shrinks the VMEM column budget and with it every masked sweep."""
     offsets = np.asarray(offsets, dtype=np.int64)
     outd = np.asarray(outdegrees, dtype=np.int64)
     n = len(offsets) - 1
@@ -780,10 +785,48 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     starts = bounds[:L]
     ends = bounds[1:]
     empty = starts == ends
-    hstarts = np.maximum(starts - W, 0)
+    # halo lists: every chunk needs the final lists of the predecessors it
+    # references; resolve the source arrays up front
+    if W > 0 and (starts != ends).any():
+        if halo_csr is None:
+            from .. import native as _native
+            if not _native.available():
+                return None
+            if refs is None:
+                hco, hsu, refs = _native.bv_decode_all_refs(
+                    data, n, m, settings)
+            else:
+                hco, hsu = _native.bv_decode_all(data, n, m, settings)
+        else:
+            hco, hsu = halo_csr
+    else:
+        hco = cum
+        hsu = np.zeros(0, dtype=np.int64)
+
+    # which predecessor lists does each chunk actually reference?  Only the
+    # first W chunk nodes can reference across the boundary (ref <= W)
+    lanes_idx = np.arange(L)
+    needed = np.zeros((L, max(W, 1)), dtype=bool)
+    if W > 0:
+        if refs is not None:
+            refs = np.asarray(refs)
+            for o in range(W):
+                xs = starts + o
+                valid = (~empty) & (xs < ends) & (xs < n)
+                rr = np.where(valid, refs[np.minimum(xs, n - 1)], 0)
+                ys = xs - rr
+                cross = valid & (rr > 0) & (ys < starts)
+                j = (starts - 1 - ys)[cross]
+                needed[lanes_idx[cross], j] = True
+        else:
+            for j in range(W):
+                needed[:, j] = (starts - 1 - j) >= 0
+    ys_all = starts[:, None] - 1 - np.arange(max(W, 1))[None, :]
+    ydeg = np.where(needed & (ys_all >= 0),
+                    outd[np.clip(ys_all, 0, max(n - 1, 0))], 0)
     # halo rows padded to a multiple of 8: the stage-flush machinery works
     # on 8-row groups and must never touch the pre-injected halo groups
-    halo_arcs = (cum[starts] - cum[hstarts] + 7) & ~np.int64(7)
+    halo_arcs = (ydeg.sum(axis=1) + 7) & ~np.int64(7)
 
     start_bits = offsets[starts]
     end_bits = offsets[ends]
@@ -815,19 +858,6 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     if n >= (1 << 31):
         return None
 
-    # halo lists: every chunk needs the final lists of its W predecessors
-    if W > 0 and active.any():
-        if halo_csr is None:
-            from .. import native as _native
-            if not _native.available():
-                return None
-            hco, hsu = _native.bv_decode_all(data, n, m, settings)
-        else:
-            hco, hsu = halo_csr
-    else:
-        hco = cum
-        hsu = np.zeros(0, dtype=np.int64)
-
     # stream words, 32-bit big-endian packed
     words = pack_words_u32(data)
     col = np.zeros((L, R), dtype=np.uint32)
@@ -845,11 +875,14 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         h = 0
         s = int(starts[i])
         for y in range(max(s - W, 0), s):
-            dy = int(outd[y])
-            meta[i, 4 + (y % CYC)] = dy
-            meta[i, 4 + CYC + (y % CYC)] = h
-            init_out[i, h:h + dy] = hsu[hco[y]:hco[y] + dy]
-            h += dy
+            # outdegree preload for every in-range window slot (parses need
+            # ref_len); list values packed only when actually referenced
+            meta[i, 4 + (y % CYC)] = int(outd[y])
+            if needed[i, s - 1 - y]:
+                dy = int(outd[y])
+                meta[i, 4 + CYC + (y % CYC)] = h
+                init_out[i, h:h + dy] = hsu[hco[y]:hco[y] + dy]
+                h += dy
 
     def to_tiles(a, rows):
         return jnp.asarray(np.ascontiguousarray(
@@ -869,11 +902,30 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         outdegrees=outd, skipped=skipped, offsets=offsets)
 
 
-def decode_chunked(prep: PreparedDecode, interpret: Optional[bool] = None):
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _run_all_scan(meta, col, init_out, spec: KernelSpec, interpret: bool):
+    """All tiles in one device program (lax.scan over tiles): one dispatch
+    per decode — the fast shape under the runtime's synchronous dispatch
+    mode (docs/TPU_RUNTIME_NOTES.md)."""
+    def step(_, xs):
+        m, c, i = xs
+        return None, _run_tile(m, c, i, spec, interpret)
+
+    _, (outs, diags) = jax.lax.scan(step, None, (meta, col, init_out))
+    return outs, diags
+
+
+def decode_chunked(prep: PreparedDecode, interpret: Optional[bool] = None,
+                   mode: str = "scan"):
     """Run the kernel over all tiles.  Returns (out_cols, diag) device
-    arrays: out_cols (T, V, 8, 128) int32, diag (T, DIAG_ROWS, 8, 128)."""
+    arrays: out_cols (T, V//8, 8, 8, 128) int32, diag (T, DIAG_ROWS, 8,
+    128).  mode: "scan" = one dispatch (scan over tiles), "pertile" =
+    one pallas dispatch per tile."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if mode == "scan":
+        return _run_all_scan(prep.meta, prep.col, prep.init_out, prep.spec,
+                             interpret)
     outs, diags = [], []
     for t in range(prep.spec.T):
         o, dg = _run_tile(prep.meta[t], prep.col[t], prep.init_out[t],
@@ -895,20 +947,19 @@ def chunked_to_csr(prep: PreparedDecode, out_cols,
     decoder when ``data``/``settings`` are given."""
     T, V = prep.spec.T, prep.spec.V
     cols = np.asarray(out_cols).reshape(T, V // 8, 8, 1024)
-    cols = cols.transpose(0, 3, 1, 2).reshape(T * 1024, V)
-    L = prep.lanes
+    cols = cols.transpose(0, 3, 1, 2).reshape(T * 1024 * V)
     bad = prep.skipped.copy()
     if errs is not None:
         bad |= errs != 0
-    succ = np.empty(prep.m, dtype=np.int64)
+    # vectorized ragged gather: arc k of chunk i lives at flat position
+    # i*V + halo_i + (k - cum[start_i])
     cum = prep.cum_arcs
-    for i in range(L):
-        s, e = prep.chunk_starts[i], prep.chunk_starts[i + 1]
-        if s == e or bad[i]:
-            continue
-        a0, a1 = cum[s], cum[e]
-        h = prep.halo_arcs[i]
-        succ[a0:a1] = cols[i, h:h + (a1 - a0)]
+    starts, ends = prep.chunk_starts[:-1], prep.chunk_starts[1:]
+    arcs = cum[ends] - cum[starts]
+    base = (np.arange(prep.lanes, dtype=np.int64) * V + prep.halo_arcs
+            - cum[starts])
+    idx = np.repeat(base, arcs) + np.arange(prep.m, dtype=np.int64)
+    succ = cols[idx].astype(np.int64)
     if bad.any():
         if data is None or settings is None:
             raise ValueError("skipped/error lanes need data/settings for "
@@ -928,16 +979,28 @@ def fill_lanes(prep: PreparedDecode, lanes_mask: np.ndarray,
     halo_n = W * max(int(maxref), 1) if W > 0 else 0
     cum = prep.cum_arcs
     offs = prep.offsets if offsets is None else offsets
-    for i in np.flatnonzero(lanes_mask):
-        s, e = int(prep.chunk_starts[i]), int(prep.chunk_starts[i + 1])
-        if s == e:
-            continue
+    data = np.concatenate([np.ascontiguousarray(data, dtype=np.uint8),
+                           np.zeros(16, dtype=np.uint8)])
+    idx = np.flatnonzero(lanes_mask
+                         & (prep.chunk_starts[:-1] != prep.chunk_starts[1:]))
+    # merge adjacent bad chunks into single range decodes (chunks are
+    # contiguous node ranges, so runs share one halo warmup)
+    k = 0
+    while k < len(idx):
+        j = k
+        while (j + 1 < len(idx) and idx[j + 1] == idx[j] + 1
+               and prep.chunk_starts[idx[j] + 1]
+               == prep.chunk_starts[idx[j + 1]]):
+            j += 1
+        s = int(prep.chunk_starts[idx[k]])
+        e = int(prep.chunk_starts[idx[j] + 1])
         p = max(s - halo_n, 0)
         init = prep.outdegrees[max(p - W, 0):p][::-1]
         co, su, _ = _native.bv_decode_range(
             data, settings, p, s, e, int(offs[p]), init,
-            int(cum[e] - cum[s]))
+            int(cum[e] - cum[s]), padded=True)
         succ[cum[s]:cum[e]] = su
+        k = j + 1
 
 
 def check_diag(prep: PreparedDecode, diag) -> np.ndarray:
