@@ -93,15 +93,18 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None):
             K.fill_lanes(prep, bad, succ_fill, data, bv.settings)
         return time.time() - t
 
-    pool = ThreadPoolExecutor(1)
+    # timed: 5 decodes per window, dispatches pipelined (device queue keeps
+    # the chip busy back-to-back; the ~22ms tunnel readback RTT is paid once
+    # per window, not per decode); host fills run concurrently on a pool
+    pool = ThreadPoolExecutor(2)
     times, fill_s = [], 0.0
     for _ in range(3):
         t0 = time.time()
-        for _ in range(5):
-            fut = pool.submit(host_fill)
-            o, d2 = K.decode_chunked(prep, interpret=False)
-            jax.block_until_ready((o, d2))
-            fill_s = fut.result()  # concurrent with the device kernel
+        futs = [pool.submit(host_fill) for _ in range(5)]
+        res = [K.decode_chunked(prep, interpret=False) for _ in range(5)]
+        o, d2 = res[-1]
+        jax.block_until_ready(res)
+        fill_s = max(f.result() for f in futs)
         times.append((time.time() - t0) / 5)
     decode_s = sorted(times)[1]
     _log("timed", decode_s)

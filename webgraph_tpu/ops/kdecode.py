@@ -84,6 +84,11 @@ class KernelSpec:
     BMAX: int = 32  # copy-block scratch rows per lane
     IMAX: int = 32  # interval scratch pairs per lane
     max_steps: int = 0
+    # state-machine steps per while_loop iteration: the Mosaic while_loop
+    # has a ~575ns/iteration floor on v5e (experiments/pallas_probe16.py)
+    # independent of body size, so executing several steps per iteration
+    # amortizes it
+    unroll: int = 1
 
     def supported(self) -> bool:
         ks = {self.outdegree_coding, self.reference_coding,
@@ -93,7 +98,7 @@ class KernelSpec:
 
 
 # diagnostic row layout
-DIAG_ERR, DIAG_WCUR, DIAG_NODES, DIAG_ROWS = 0, 1, 2, 3
+DIAG_ERR, DIAG_WCUR, DIAG_NODES, DIAG_STEPS, DIAG_ROWS = 0, 1, 2, 3, 4
 
 # error bits
 E_UNARY = 1        # unary run beyond the 64-bit window
@@ -653,18 +658,24 @@ def _make_kernel(spec: KernelSpec):
                      **{f"sw{k}": stw[k] for k in range(16)})
             return pack(g)
 
+        def body_unrolled(cc):
+            for _ in range(spec.unroll):
+                cc = body(cc)
+            return cc
+
         def cond(cc):
             g = unpack(cc)
             return ((g["step"] < spec.max_steps)
                     & jnp.any(g["st"] != ST_DONE))
 
-        final = unpack(jax.lax.while_loop(cond, body, pack(carry0)))
+        final = unpack(jax.lax.while_loop(cond, body_unrolled, pack(carry0)))
         out_flush([final[f"sw{k}"] for k in range(16)], final["wcur"],
                   wcur0 >> 3)
         diag_ref[DIAG_ERR] = final["err"] | jnp.where(
             final["st"] != ST_DONE, E_STEPS, 0)
         diag_ref[DIAG_WCUR] = final["wcur"]
         diag_ref[DIAG_NODES] = final["node"]
+        diag_ref[DIAG_STEPS] = jnp.zeros((8, 128), jnp.int32) + final["step"]
 
     return kernel
 
@@ -740,76 +751,17 @@ class PreparedDecode:
         return self.spec.T * 1024
 
 
-def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
-                       settings, data: np.ndarray,
-                       halo_csr: Optional[Tuple[np.ndarray, np.ndarray]]
-                       = None,
-                       refs: Optional[np.ndarray] = None,
-                       target_arcs_per_lane: int = 128,
-                       v_cap: int = 512, r_cap: int = 160,
-                       bmax: int = 32, imax: int = 32,
-                       ) -> Optional[PreparedDecode]:
-    """Build the lane-chunk plan.  Returns None if the config/scale is
-    outside the kernel's envelope (caller falls back).
-
-    ``halo_csr``: (csr_off, succ) arrays giving every node's final list,
-    used only to extract each chunk's predecessor lists.  When None, the
-    native host decoder produces them (one-time plan cost).
-    ``refs``: per-node reference values (native bv_decode_all_refs); when
-    given, only the predecessor lists a chunk ACTUALLY references are
-    packed into its halo rows (typically 0-2 lists instead of W), which
-    shrinks the VMEM column budget and with it every masked sweep."""
-    offsets = np.asarray(offsets, dtype=np.int64)
-    outd = np.asarray(outdegrees, dtype=np.int64)
-    n = len(offsets) - 1
-    cum = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(outd, out=cum[1:])
-    m = int(cum[n])
-
-    W = settings.window_size
-
-    L = max(1024, min(1024 * 1024,
-                      1 << int(np.ceil(np.log2(max(m, 1)
-                                               / target_arcs_per_lane + 1)))))
-    T = L // 1024
-
-    # arc-balanced chunk boundaries (searchsorted over cumulative arcs), the
-    # arc-balancing analogue of EliasFanoCumulativeOutdegreeList chunking
-    targets = (m * np.arange(1, L, dtype=np.int64)) // L
-    bounds = np.empty(L + 1, dtype=np.int64)
-    bounds[0] = 0
-    bounds[1:L] = np.searchsorted(cum, targets, side="left")
-    bounds[L] = n
-    bounds = np.maximum.accumulate(bounds)
-
-    starts = bounds[:L]
-    ends = bounds[1:]
+def _chunk_needs(starts, ends, offsets, cum, outd, refs, W, n):
+    """Per-chunk resource needs: (needed pred-slot matrix, halo_arcs,
+    nwords, need_v).  ``needed[i, j]`` marks predecessor start_i-1-j as
+    referenced across the chunk boundary (only the first W chunk nodes can,
+    since ref <= W <= 7)."""
+    L = len(starts)
     empty = starts == ends
-    # halo lists: every chunk needs the final lists of the predecessors it
-    # references; resolve the source arrays up front
-    if W > 0 and (starts != ends).any():
-        if halo_csr is None:
-            from .. import native as _native
-            if not _native.available():
-                return None
-            if refs is None:
-                hco, hsu, refs = _native.bv_decode_all_refs(
-                    data, n, m, settings)
-            else:
-                hco, hsu = _native.bv_decode_all(data, n, m, settings)
-        else:
-            hco, hsu = halo_csr
-    else:
-        hco = cum
-        hsu = np.zeros(0, dtype=np.int64)
-
-    # which predecessor lists does each chunk actually reference?  Only the
-    # first W chunk nodes can reference across the boundary (ref <= W)
     lanes_idx = np.arange(L)
     needed = np.zeros((L, max(W, 1)), dtype=bool)
     if W > 0:
         if refs is not None:
-            refs = np.asarray(refs)
             for o in range(W):
                 xs = starts + o
                 valid = (~empty) & (xs < ends) & (xs < n)
@@ -827,12 +779,161 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     # halo rows padded to a multiple of 8: the stage-flush machinery works
     # on 8-row groups and must never touch the pre-injected halo groups
     halo_arcs = (ydeg.sum(axis=1) + 7) & ~np.int64(7)
-
-    start_bits = offsets[starts]
-    end_bits = offsets[ends]
-    w0 = start_bits >> 5
-    nwords = np.where(empty, 0, (end_bits + 31) // 32 - w0)
+    nwords = np.where(empty, 0,
+                      (offsets[ends] + 31) // 32 - (offsets[starts] >> 5))
     need_v = halo_arcs + (cum[ends] - cum[starts]) + 1
+    return needed, halo_arcs, nwords, need_v
+
+
+def _split_chunk(s, e, offsets, cum, outd, refs, W, v_cap, r_cap):
+    """Greedy walk over [s, e): emit maximal sub-chunks that fit the
+    (v_cap, r_cap) envelope.  Single nodes that alone violate it are
+    emitted as their own chunk (the planner marks them skipped -> host
+    fill).  Returns the list of sub-chunk end boundaries."""
+    subs = []
+    s2 = s
+    while s2 < e:
+        if W > 0 and refs is None:
+            halo = int(outd[max(s2 - W, 0):s2].sum())
+        else:
+            halo = 0
+        preds = set()
+        e2 = s2
+        while e2 < e:
+            x = e2
+            y = -1
+            if W > 0 and refs is not None and x - s2 < W:
+                r = int(refs[x])
+                if r > 0 and x - r < s2:
+                    y = x - r
+            add = int(outd[y]) if (y >= 0 and y not in preds) else 0
+            hp = (halo + add + 7) & ~7
+            arcs2 = int(cum[e2 + 1] - cum[s2])
+            words = int((offsets[e2 + 1] + 31) // 32 - (offsets[s2] >> 5))
+            if hp + arcs2 + 1 > v_cap or words > r_cap - 2:
+                if e2 == s2:
+                    e2 += 1  # lone violator: emit anyway, becomes skipped
+                break
+            halo += add
+            if y >= 0:
+                preds.add(y)
+            e2 += 1
+        subs.append(e2)
+        s2 = e2
+    return subs
+
+
+def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
+                       settings, data: np.ndarray,
+                       halo_csr: Optional[Tuple[np.ndarray, np.ndarray]]
+                       = None,
+                       refs: Optional[np.ndarray] = None,
+                       target_arcs_per_lane: int = 128,
+                       v_cap: int = 512, r_cap: int = 160,
+                       bmax: int = 32, imax: int = 32,
+                       unroll: Optional[int] = None,
+                       ) -> Optional[PreparedDecode]:
+    """Build the lane-chunk plan.  Returns None if the config/scale is
+    outside the kernel's envelope (caller falls back).
+
+    ``halo_csr``: (csr_off, succ) arrays giving every node's final list,
+    used only to extract each chunk's predecessor lists.  When None, the
+    native host decoder produces them (one-time plan cost).
+    ``refs``: per-node reference values (native bv_decode_all_refs); when
+    given, only the predecessor lists a chunk ACTUALLY references are
+    packed into its halo rows (typically 0-2 lists instead of W), which
+    shrinks the VMEM column budget and with it every masked sweep.
+
+    Chunks that exceed the (v_cap, r_cap) envelope — dense hub regions —
+    are split greedily into sub-chunks that fit (the adaptive analogue of
+    the reference's arc-balanced task splitting,
+    EliasFanoCumulativeOutdegreeList.java:139); only single nodes too big
+    for any lane stay on the native host path."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    outd = np.asarray(outdegrees, dtype=np.int64)
+    n = len(offsets) - 1
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(outd, out=cum[1:])
+    m = int(cum[n])
+
+    W = settings.window_size
+
+    L = max(1024, min(1024 * 1024,
+                      1 << int(np.ceil(np.log2(max(m, 1)
+                                               / target_arcs_per_lane + 1)))))
+
+    # cost-balanced chunk boundaries.  The kernel runs each tile's
+    # while_loop until its SLOWEST lane finishes, and a lane's step count is
+    # ~ its arcs (one emit per step) plus ~STATE_COST header states per
+    # node — so balance the combined cost, not raw arcs (equal-arc chunking
+    # hands sparse regions thousands of nodes per lane and the tile idles
+    # 10x+ on them).  Arc-balancing analogue of
+    # EliasFanoCumulativeOutdegreeList.java:139 with a step-cost model.
+    STATE_COST = 5
+    cumc = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(outd + STATE_COST, out=cumc[1:])
+    mc = int(cumc[n])
+    targets = (mc * np.arange(1, L, dtype=np.int64)) // L
+    bounds = np.empty(L + 1, dtype=np.int64)
+    bounds[0] = 0
+    bounds[1:L] = np.searchsorted(cumc, targets, side="left")
+    bounds[L] = n
+    bounds = np.maximum.accumulate(bounds)
+
+    starts = bounds[:L]
+    ends = bounds[1:]
+    # halo lists: every chunk needs the final lists of the predecessors it
+    # references; resolve the source arrays up front
+    if W > 0 and (starts != ends).any():
+        if halo_csr is None:
+            from .. import native as _native
+            if not _native.available():
+                return None
+            if refs is None:
+                hco, hsu, refs = _native.bv_decode_all_refs(
+                    data, n, m, settings)
+            else:
+                hco, hsu = _native.bv_decode_all(data, n, m, settings)
+        else:
+            hco, hsu = halo_csr
+    else:
+        hco = cum
+        hsu = np.zeros(0, dtype=np.int64)
+    if refs is not None:
+        refs = np.asarray(refs)
+
+    # first pass: find envelope violators, split them adaptively
+    _, _, nwords, need_v = _chunk_needs(starts, ends, offsets, cum, outd,
+                                        refs, W, n)
+    viol = np.flatnonzero((starts != ends)
+                          & ((need_v > v_cap) | (nwords > r_cap - 2))
+                          & (ends - starts > 1))
+    if len(viol):
+        pieces = []
+        prev = 0
+        for i in viol:
+            pieces.append(bounds[prev + 1:i + 1])
+            pieces.append(np.asarray(
+                _split_chunk(int(bounds[i]), int(bounds[i + 1]), offsets,
+                             cum, outd, refs, W, v_cap, r_cap),
+                dtype=np.int64))
+            prev = i + 1
+        pieces.append(bounds[prev + 1:])
+        ends_new = np.concatenate(pieces)
+        Lp = len(ends_new)
+        L = ((Lp + 1023) // 1024) * 1024
+        bounds = np.full(L + 1, n, dtype=np.int64)
+        bounds[0] = 0
+        bounds[1:Lp + 1] = ends_new
+        starts = bounds[:L]
+        ends = bounds[1:]
+    T = L // 1024
+
+    empty = starts == ends
+    needed, halo_arcs, nwords, need_v = _chunk_needs(
+        starts, ends, offsets, cum, outd, refs, W, n)
+    start_bits = offsets[starts]
+    w0 = start_bits >> 5
     skipped = (~empty) & ((need_v > v_cap) | (nwords > r_cap - 2))
     active = (~empty) & ~skipped
 
@@ -852,6 +953,8 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         R=R, V=V, T=T, BMAX=bmax, IMAX=imax,
         max_steps=int(3 * V + 10 * int((ends - starts)[active].max()
                                        if active.any() else 1) + 64),
+        unroll=(unroll if unroll is not None
+                else (4 if jax.default_backend() == "tpu" else 1)),
     )
     if not spec.supported():
         return None
