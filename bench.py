@@ -151,11 +151,17 @@ def main():
 
     results = {"cnr2000": extra}
 
-    synth_nodes = int(os.environ.get("BENCH_SYNTH_NODES", 0))
+    # uk-2002-scale synthetic (~18.5M nodes / ~296M arcs) runs by default;
+    # BENCH_SYNTH_NODES=0 disables.  Failures there must not lose the
+    # headline line.
+    synth_nodes = int(os.environ.get("BENCH_SYNTH_NODES", 18_500_000))
     if synth_nodes:
         from bench_synth import bench_synth
-        results["synthetic"] = bench_synth(synth_nodes, target_arcs, v_cap,
-                                           r_cap)
+        try:
+            results["synthetic"] = bench_synth(synth_nodes, target_arcs,
+                                               v_cap, r_cap)
+        except Exception as e:  # noqa: BLE001
+            results["synthetic"] = {"error": repr(e)}
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_EXTRA.json"), "w") as f:

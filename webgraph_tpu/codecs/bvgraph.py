@@ -361,6 +361,11 @@ class BVGraph(ImmutableGraph):
         """Decode the offsets gap stream (n+1 gamma/delta gaps with a leading
         zero, BVGraph.java:869-898) into absolute bit positions."""
         raw = np.fromfile(basename + OFFSETS_EXTENSION, dtype=np.uint8)
+        from .. import native as _native
+        if _native.available() and self.settings.offset_coding in (
+                _C.GAMMA, _C.DELTA):
+            return _native.decode_offset_stream(raw, self._n,
+                                                self.settings.offset_coding)
         r = BitReader(raw)
         read = self.settings.read_offset
         out = np.empty(self._n + 1, dtype=np.int64)

@@ -915,9 +915,11 @@ int64_t wg_bv_encode(const int64_t* csr_off, const int64_t* succ, int64_t n,
         for (int i = 0; i < STAT_WORDS; i++) stats[i] += all_stats[(size_t)t][i];
 
     // bit-exact concatenation of the graph streams
-    auto concat = [](std::vector<BitWriter>& ws, bool lead_zero_gamma) {
+    auto concat = [&](std::vector<BitWriter>& ws, bool lead_zero) {
         BitWriter out;
-        if (lead_zero_gamma) out.write_bits(1, 1);  // gamma(0) leading offset
+        // leading offsets entry: a zero in the offsets coding (the Python
+        // path's settings.write_offset; BVGraph.java:2228 leading 0)
+        if (lead_zero) write_coded(out, 0, c_off, zeta_k);
         for (auto& w : ws) {
             int64_t bits = w.written_bits();
             const uint8_t* p = w.out.data();

@@ -298,6 +298,7 @@ def _make_kernel(spec: KernelSpec):
                 adv = jnp.where(m, 2 * um + 1, adv)
             if K_DELTA in kinds_used:
                 m = kind == K_DELTA
+                err = err | jnp.where(m & (u > 31), E_WIDTH, 0)
                 um = jnp.where(m, jnp.minimum(u, 31), 0)
                 mant = extract(b0, b1, b2, um + 1, um)
                 e = _i32((shl1(um) | mant) - 1)
@@ -961,9 +962,16 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     if n >= (1 << 31):
         return None
 
-    # stream words, 32-bit big-endian packed
+    # stream words, 32-bit big-endian packed.  All packing below is
+    # vectorized over lanes (a Python per-lane loop is minutes at uk-2002
+    # scale: L reaches 2^20 lanes).
     words = pack_words_u32(data)
-    col = np.zeros((L, R), dtype=np.uint32)
+    nw_act = np.where(active, nwords, 0)
+    wpad = np.concatenate([words, np.zeros(R, dtype=words.dtype)])
+    wview = np.lib.stride_tricks.sliding_window_view(wpad, R)
+    wmask = np.arange(R, dtype=np.int64)[None, :] < nw_act[:, None]
+    col = np.where(wmask, wview[np.minimum(w0, len(wview) - 1)], 0)
+    col = np.ascontiguousarray(col, dtype=np.uint32)
     init_out = np.zeros((L, V), dtype=np.int32)
     CYC = W + 1
     NMETA = 4 + 2 * CYC
@@ -972,20 +980,34 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     meta[:, 1] = (start_bits - (w0 << 5)).astype(np.int32)
     meta[:, 2] = starts.astype(np.int32)
     meta[:, 3] = np.where(active, halo_arcs, 0).astype(np.int32)
-    for i in np.flatnonzero(active):
-        c = int(nwords[i])
-        col[i, :c] = words[w0[i]:w0[i] + c]
-        h = 0
-        s = int(starts[i])
-        for y in range(max(s - W, 0), s):
+    if W > 0:
+        lanes_i = np.arange(L, dtype=np.int64)
+        # per-(lane, j) predecessor y = start-1-j; packed rows accumulate in
+        # ascending-y order (j = W-1 .. 0)
+        ys = starts[:, None] - 1 - np.arange(W, dtype=np.int64)[None, :]
+        in_rng = active[:, None] & (ys >= 0)
+        ysc = np.clip(ys, 0, max(n - 1, 0))
+        dy = np.where(needed[:, :W] & in_rng, outd[ysc], 0)
+        # h[i, j] = sum of dy over j' > j (ascending-y exclusive prefix)
+        h = np.cumsum(dy[:, ::-1], axis=1)[:, ::-1] - dy
+        slot = (ysc % CYC).astype(np.int64)
+        for j in range(W):
+            v = in_rng[:, j]
             # outdegree preload for every in-range window slot (parses need
             # ref_len); list values packed only when actually referenced
-            meta[i, 4 + (y % CYC)] = int(outd[y])
-            if needed[i, s - 1 - y]:
-                dy = int(outd[y])
-                meta[i, 4 + CYC + (y % CYC)] = h
-                init_out[i, h:h + dy] = hsu[hco[y]:hco[y] + dy]
-                h += dy
+            meta[lanes_i[v], 4 + slot[v, j]] = outd[ysc[v, j]]
+            pk = v & needed[:, j]
+            meta[lanes_i[pk], 4 + CYC + slot[pk, j]] = h[pk, j]
+        # ragged halo-list scatter: flat destinations i*V + h + k
+        pk = needed[:, :W] & in_rng
+        cnt = dy[pk]
+        if cnt.size and cnt.sum():
+            dst0 = (np.repeat(lanes_i[:, None], W, axis=1)[pk] * V + h[pk])
+            src0 = hco[ysc[pk]]
+            within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            init_out.reshape(-1)[np.repeat(dst0, cnt) + within] = (
+                hsu[np.repeat(src0, cnt) + within])
 
     def to_tiles(a, rows):
         return jnp.asarray(np.ascontiguousarray(
@@ -1062,6 +1084,11 @@ def chunked_to_csr(prep: PreparedDecode, out_cols,
     base = (np.arange(prep.lanes, dtype=np.int64) * V + prep.halo_arcs
             - cum[starts])
     idx = np.repeat(base, arcs) + np.arange(prep.m, dtype=np.int64)
+    # skipped hub lanes can have halo+arcs > V: their flat indices spill past
+    # the lane column (or the array end, for lanes near the tail) — clip;
+    # fill_lanes rewrites every bad lane's range below anyway
+    if bad.any():
+        np.minimum(idx, cols.size - 1, out=idx)
     succ = cols[idx].astype(np.int64)
     if bad.any():
         if data is None or settings is None:
