@@ -48,6 +48,10 @@ def cmd_bvgraph(args) -> int:
         g = _load(args.source)
         g.write_outdegrees(args.source + ".outdegrees")
         return 0
+    if args.obl:
+        g = _load(args.source)
+        print(g.write_offsets_cache(args.source))
+        return 0
     dest = args.dest or args.source
     g = _load(args.source, mode="offline" if args.offline else "standard")
     BVGraph.store(g, dest, window_size=args.window_size,
@@ -254,6 +258,8 @@ def main(argv=None) -> int:
                    help="regenerate the offsets file")
     b.add_argument("-d", "--outdegrees", action="store_true",
                    help="dump the outdegree stream")
+    b.add_argument("-L", "--obl", action="store_true",
+                   help="write the .obl Elias-Fano offsets cache")
     b.set_defaults(fn=cmd_bvgraph)
 
     e = sub.add_parser("efgraph", help="compress to EFGraph")

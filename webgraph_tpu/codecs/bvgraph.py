@@ -331,7 +331,15 @@ class BVGraph(ImmutableGraph):
     # -- loading ----------------------------------------------------------
 
     @classmethod
-    def load(cls, basename: str, mode: str = "standard") -> "BVGraph":
+    def load(cls, basename: str, mode: str = "standard",
+             offsets: str = "array") -> "BVGraph":
+        """Load ``basename.{graph,offsets,properties}``.
+
+        ``offsets``: "array" materializes the index as int64[n+1]; "ef"
+        keeps it as a packed EliasFanoMonotoneList (~4x smaller — the
+        big-graph representation, sux4j analogue of BVGraph.java:1556-1558).
+        A fresh ``basename.obl`` cache is used when present.
+        """
         props = javaprops.load(basename + PROPERTIES_EXTENSION_FULL)
         version = int(props.get("version", "0"))
         if version > BVGRAPH_VERSION:
@@ -354,8 +362,35 @@ class BVGraph(ImmutableGraph):
 
         g = cls(data, n, m, settings, properties=props, basename=basename)
         if mode not in ("offline", "once", "sequential"):
-            g.offsets = g._load_offsets(basename)
+            g.offsets = g._load_offsets_cached(basename, offsets)
         return g
+
+    def _load_offsets_cached(self, basename: str, rep: str = "array"):
+        """Offsets index, preferring a fresh ``.obl`` Elias-Fano cache
+        (BVGraph.java:1545-1555: trusted only when newer than .offsets)."""
+        obl = basename + OFFSETS_BIG_LIST_EXTENSION
+        offs = basename + OFFSETS_EXTENSION
+        from ..ops.ef_index import EliasFanoMonotoneList, build_ef
+        if os.path.exists(obl) and (not os.path.exists(offs)
+                                    or os.path.getmtime(obl)
+                                    >= os.path.getmtime(offs)):
+            ef = EliasFanoMonotoneList.load(obl)
+            if len(ef) != self._n + 1:
+                raise IOError(f"{obl}: stale cache ({len(ef)} entries for "
+                              f"{self._n} nodes)")
+            return ef if rep == "ef" else ef.to_array()
+        arr = self._load_offsets(basename)
+        return build_ef(arr) if rep == "ef" else arr
+
+    def write_offsets_cache(self, basename: Optional[str] = None) -> str:
+        """Write the ``.obl`` Elias-Fano offsets cache (BVGraph.main -L)."""
+        from ..ops.ef_index import EliasFanoMonotoneList, build_ef
+        base = basename or self.basename
+        path = base + OFFSETS_BIG_LIST_EXTENSION
+        ef = (self.offsets if isinstance(self.offsets, EliasFanoMonotoneList)
+              else build_ef(np.asarray(self.offsets)))
+        ef.dump(path)
+        return path
 
     def _load_offsets(self, basename: str) -> np.ndarray:
         """Decode the offsets gap stream (n+1 gamma/delta gaps with a leading

@@ -964,15 +964,15 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
 
     # stream words, 32-bit big-endian packed.  All packing below is
     # vectorized over lanes (a Python per-lane loop is minutes at uk-2002
-    # scale: L reaches 2^20 lanes).
+    # scale: L reaches 2^20 lanes), and only COMPACT arrays are shipped to
+    # the device — the stream words once, per-lane word ranges, the per-lane
+    # meta rows, and the sparse halo values; the dense lane columns
+    # ((L, R) stream columns and the (L, V) output-column image) are
+    # expanded on device by _stage_device.  This matters on the tunneled
+    # runtime: host->device bandwidth is ~16 MB/s, and the dense arrays are
+    # ~8x bigger than their compact sources.
     words = pack_words_u32(data)
-    nw_act = np.where(active, nwords, 0)
-    wpad = np.concatenate([words, np.zeros(R, dtype=words.dtype)])
-    wview = np.lib.stride_tricks.sliding_window_view(wpad, R)
-    wmask = np.arange(R, dtype=np.int64)[None, :] < nw_act[:, None]
-    col = np.where(wmask, wview[np.minimum(w0, len(wview) - 1)], 0)
-    col = np.ascontiguousarray(col, dtype=np.uint32)
-    init_out = np.zeros((L, V), dtype=np.int32)
+    nw_act = np.where(active, nwords, 0).astype(np.int32)
     CYC = W + 1
     NMETA = 4 + 2 * CYC
     meta = np.zeros((L, NMETA), dtype=np.int32)
@@ -980,6 +980,8 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     meta[:, 1] = (start_bits - (w0 << 5)).astype(np.int32)
     meta[:, 2] = starts.astype(np.int32)
     meta[:, 3] = np.where(active, halo_arcs, 0).astype(np.int32)
+    hdst = np.zeros(0, dtype=np.int64)
+    hval = np.zeros(0, dtype=np.int32)
     if W > 0:
         lanes_i = np.arange(L, dtype=np.int64)
         # per-(lane, j) predecessor y = start-1-j; packed rows accumulate in
@@ -998,7 +1000,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
             meta[lanes_i[v], 4 + slot[v, j]] = outd[ysc[v, j]]
             pk = v & needed[:, j]
             meta[lanes_i[pk], 4 + CYC + slot[pk, j]] = h[pk, j]
-        # ragged halo-list scatter: flat destinations i*V + h + k
+        # ragged halo-list values: flat destinations i*V + h + k
         pk = needed[:, :W] & in_rng
         cnt = dy[pk]
         if cnt.size and cnt.sum():
@@ -1006,25 +1008,42 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
             src0 = hco[ysc[pk]]
             within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
                 np.cumsum(cnt) - cnt, cnt)
-            init_out.reshape(-1)[np.repeat(dst0, cnt) + within] = (
-                hsu[np.repeat(src0, cnt) + within])
+            hdst = np.repeat(dst0, cnt) + within
+            hval = hsu[np.repeat(src0, cnt) + within].astype(np.int32)
 
-    def to_tiles(a, rows):
-        return jnp.asarray(np.ascontiguousarray(
-            a.reshape(T, 1024, rows).transpose(0, 2, 1)).reshape(
-                T, rows, 8, 128))
-
-    # output columns are stored grouped: row r lives at [r//8, r%8, lane]
-    init4 = jnp.asarray(np.ascontiguousarray(
-        init_out.reshape(T, 1024, V // 8, 8).transpose(0, 2, 3, 1)).reshape(
-            T, V // 8, 8, 8, 128))
+    meta4, col4, init4 = _stage_device(
+        jnp.asarray(words.view(np.int32)), jnp.asarray(w0.astype(np.int32)),
+        jnp.asarray(nw_act), jnp.asarray(meta),
+        jnp.asarray(hdst.astype(np.int64)), jnp.asarray(hval),
+        T=T, R=R, V=V, NMETA=NMETA)
 
     return PreparedDecode(
-        spec=spec, meta=to_tiles(meta, NMETA),
-        col=to_tiles(col.view(np.int32), R),
-        init_out=init4, n=n, m=m,
+        spec=spec, meta=meta4, col=col4, init_out=init4, n=n, m=m,
         chunk_starts=bounds, halo_arcs=halo_arcs, cum_arcs=cum,
         outdegrees=outd, skipped=skipped, offsets=offsets)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "R", "V", "NMETA"))
+def _stage_device(words, w0, nw, meta, hdst, hval, *, T, R, V, NMETA):
+    """Expand compact plan inputs into the kernel's tiled lane arrays
+    (stream columns, meta tiles, halo-initialized grouped output image)."""
+    L = T * 1024
+
+    def tiles(a, rows):
+        return a.reshape(T, 1024, rows).transpose(0, 2, 1).reshape(
+            T, rows, 8, 128)
+
+    widx = w0[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]
+    mask = jnp.arange(R, dtype=jnp.int32)[None, :] < nw[:, None]
+    nwords_tot = words.shape[0]
+    col = jnp.where(mask,
+                    words[jnp.clip(widx, 0, max(nwords_tot - 1, 0))]
+                    if nwords_tot else jnp.zeros((), jnp.int32), 0)
+    init = jnp.zeros((L * V,), jnp.int32).at[hdst].set(hval)
+    # output columns are stored grouped: row r lives at [r//8, r%8, lane]
+    init4 = init.reshape(T, 1024, V // 8, 8).transpose(0, 2, 3, 1).reshape(
+        T, V // 8, 8, 8, 128)
+    return tiles(meta, NMETA), tiles(col, R), init4
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
