@@ -549,6 +549,72 @@ class BVGraph(ImmutableGraph):
             window[x % cyclic] = succ
             yield x, succ
 
+    def iter_csr_slices(self, slice_nodes: int = 1 << 22):
+        """Sequential decode in bounded memory: yields (x0, x1, csr_off,
+        succ) per contiguous node slice, for graphs of ANY size (> 2^31
+        nodes/arcs — the BVGraphSlowTest.java:30-97 regime).
+
+        Needs no offsets index: each native range decode reports the bit
+        offsets of its trailing halo nodes (wg_bv_decode_range tail), which
+        seed the next slice's halo warmup — the sliding-window discipline of
+        BVGraphNodeIterator (BVGraph.java:1100-1245) carried across slices.
+        """
+        from .. import native as _native
+        if not _native.available():  # scalar fallback
+            x0 = 0
+            co = [0]
+            su = []
+            for x, lst in self.iter_nodes():
+                co.append(co[-1] + len(lst))
+                su.append(lst)
+                if x + 1 - x0 >= slice_nodes or x + 1 == self._n:
+                    yield (x0, x + 1, np.asarray(co, dtype=np.int64),
+                           np.concatenate(su) if su else _EMPTY)
+                    x0 = x + 1
+                    co = [0]
+                    su = []
+            return
+        s = self.settings
+        W = s.window_size
+        halo_n = W * max(s.max_ref_count, 1) if W > 0 else 0
+        if slice_nodes <= halo_n:
+            raise ValueError(f"slice_nodes must exceed {halo_n}")
+        data = np.concatenate([np.ascontiguousarray(self.data,
+                                                    dtype=np.uint8),
+                               np.zeros(16, dtype=np.uint8)])
+        n = self._n
+        avg_d = max(1, -(-self._m // max(n, 1)))
+        x0 = 0
+        p = 0
+        start_bit = 0
+        hist = np.zeros(0, dtype=np.int64)  # outdegrees of trailing nodes
+        while x0 < n:
+            x1 = min(x0 + slice_nodes, n)
+            init = np.zeros(W, dtype=np.int64)  # init[j] = outdegree(p-1-j)
+            for j in range(W):
+                y = p - 1 - j
+                if x0 - len(hist) <= y < x0 and y >= 0:
+                    init[j] = hist[y - (x0 - len(hist))]
+            cap = max((x1 - x0 + halo_n) * avg_d * 2, 1 << 16)
+            tail_n = halo_n if x1 < n else 0
+            while True:
+                try:
+                    co, su, tail = _native.bv_decode_range(
+                        data, s, p, x0, x1, start_bit, init,
+                        cap, tail_n=tail_n, padded=True)
+                    break
+                except RuntimeError as err:
+                    if str(err).endswith("-3"):  # buffer too small: grow
+                        cap *= 4
+                        continue
+                    raise
+            yield x0, x1, co, su
+            outd = np.diff(co)
+            hist = np.concatenate([hist, outd])[-(halo_n + W):]
+            x0 = x1
+            p = max(x1 - halo_n, 0)
+            start_bit = int(tail[0]) if tail_n else 0
+
     def decode_offsets_from_stream(self) -> np.ndarray:
         """Recompute offsets by a full sequential scan (BVGraph.main -O)."""
         s = self.settings
@@ -626,6 +692,41 @@ class BVGraph(ImmutableGraph):
         return props
 
     @classmethod
+    def store_slices(cls, slices, basename: str,
+                     settings: Optional[BVGraphSettings] = None,
+                     comment: str = "BVGraph properties",
+                     progress=None) -> Dict[str, str]:
+        """Compress an iterator of CSR slices (csr_off int64[k+1], succ) —
+        the bulk streaming entry point for > 2^31-node/arc graphs
+        (BVGraphSlowTest.java:30-97 regime): nothing is ever materialized
+        beyond one slice, and the output is byte-identical to a
+        single-stream encode."""
+        from .. import native as _native
+        s = settings or BVGraphSettings()
+        enc = _native.StreamEncoder(s)
+        for co, su in slices:
+            enc.push(co, su)
+            if progress is not None:
+                progress(enc.nodes, enc.bits)
+        n = enc.nodes
+        graph_b, gbits, offs_b, obits, st = enc.finish()
+        with open(basename + GRAPH_EXTENSION, "wb") as f:
+            f.write(graph_b.tobytes())
+        with open(basename + OFFSETS_EXTENSION, "wb") as f:
+            f.write(offs_b.tobytes())
+        enc2 = _Encoder(s)
+        enc2.tot_links = int(st[0] + st[1] + st[2])
+        (enc2.copied_arcs, enc2.intervalised_arcs, enc2.residual_arcs,
+         enc2.tot_ref, enc2.tot_dist, enc2.bits_for_outdegrees,
+         enc2.bits_for_references, enc2.bits_for_blocks,
+         enc2.bits_for_intervals, enc2.bits_for_residuals) = map(int, st[:10])
+        enc2.successor_gap_stats = [int(v) for v in st[10:74]]
+        enc2.residual_gap_stats = [int(v) for v in st[74:138]]
+        props = enc2.build_properties(n, int(gbits))
+        javaprops.dump(props, basename + PROPERTIES_EXTENSION_FULL, comment)
+        return props
+
+    @classmethod
     def _store_native(cls, graph: ImmutableGraph, basename: str,
                       s: BVGraphSettings, comment: str,
                       num_threads: int) -> Dict[str, str]:
@@ -637,29 +738,48 @@ class BVGraph(ImmutableGraph):
 
         if isinstance(graph, CSRGraph):
             csr_off, succ = graph.offsets, graph.succ
+            n = len(csr_off) - 1
+            if num_threads <= 0:
+                # the reference heuristic: cores, >= 100k nodes/thread
+                # (BVGraph.java:2382-2386)
+                num_threads = max(1, min(_os.cpu_count() or 1, n // 100_000))
+            graph_b, gbits, offs_b, obits, st = _native.bv_encode(
+                csr_off, succ, s, threads=num_threads)
         else:
-            lists = [su for _, su in graph.iter_nodes()]
-            offs = np.zeros(len(lists) + 1, dtype=np.int64)
-            for i, l in enumerate(lists):
-                offs[i + 1] = offs[i] + len(l)
-            succ = (np.concatenate(lists).astype(np.int64)
-                    if lists else np.zeros(0, dtype=np.int64))
-            csr_off = offs
-        n = len(csr_off) - 1
-        if num_threads <= 0:
-            # the reference heuristic: cores, >= 100k nodes/thread
-            # (BVGraph.java:2382-2386)
-            num_threads = max(1, min(_os.cpu_count() or 1, n // 100_000))
-
-        graph_b, gbits, offs_b, obits, st = _native.bv_encode(
-            csr_off, succ, s, threads=num_threads)
+            # stream slices through the window-carrying native encoder —
+            # nothing is materialized, so > 2^31-node/arc sequential graphs
+            # (BVGraphSlowTest.java:30-97 regime) encode in bounded memory;
+            # output is byte-identical to the single-stream encode
+            SLICE_ARCS = 8 << 20
+            enc = _native.StreamEncoder(s)
+            offs = [0]
+            bufs = []
+            buffered = 0
+            for _x, su in graph.iter_nodes():
+                su = np.asarray(su, dtype=np.int64)
+                bufs.append(su)
+                buffered += len(su)
+                offs.append(offs[-1] + len(su))
+                if buffered >= SLICE_ARCS:
+                    enc.push(np.asarray(offs, dtype=np.int64),
+                             np.concatenate(bufs) if bufs
+                             else np.zeros(0, np.int64))
+                    offs = [0]
+                    bufs = []
+                    buffered = 0
+            if len(offs) > 1:
+                enc.push(np.asarray(offs, dtype=np.int64),
+                         np.concatenate(bufs) if bufs
+                         else np.zeros(0, np.int64))
+            n = enc.nodes
+            graph_b, gbits, offs_b, obits, st = enc.finish()
         with open(basename + GRAPH_EXTENSION, "wb") as f:
             f.write(graph_b.tobytes())
         with open(basename + OFFSETS_EXTENSION, "wb") as f:
             f.write(offs_b.tobytes())
 
         enc = _Encoder(s)
-        enc.tot_links = int(csr_off[n])
+        enc.tot_links = int(st[0] + st[1] + st[2])
         (enc.copied_arcs, enc.intervalised_arcs, enc.residual_arcs,
          enc.tot_ref, enc.tot_dist, enc.bits_for_outdegrees,
          enc.bits_for_references, enc.bits_for_blocks,

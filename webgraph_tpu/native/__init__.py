@@ -15,7 +15,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["available", "decode_offset_stream", "decode_outdegrees",
-           "bv_decode_all", "bv_encode", "build"]
+           "bv_decode_all", "bv_encode", "build", "StreamEncoder",
+           "bv_fill_ranges"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libwgnative.so")
 _lib: Optional[ctypes.CDLL] = None
@@ -35,6 +36,13 @@ def _load():
             lib.wg_bv_decode_range.restype = ctypes.c_int64
         if hasattr(lib, "wg_bv_decode_all_refs"):
             lib.wg_bv_decode_all_refs.restype = ctypes.c_int64
+        if hasattr(lib, "wg_enc_new"):
+            lib.wg_enc_new.restype = ctypes.c_void_p
+            lib.wg_enc_push.restype = ctypes.c_int64
+            lib.wg_enc_finish.restype = ctypes.c_int64
+            lib.wg_enc_free.restype = None
+        if hasattr(lib, "wg_bv_fill_ranges"):
+            lib.wg_bv_fill_ranges.restype = ctypes.c_int64
         _lib = lib
     return _lib
 
@@ -178,6 +186,125 @@ def bv_decode_range(data: np.ndarray, settings, p: int, x0: int, x1: int,
     if wrote < 0:
         raise RuntimeError(f"native range decode failed: {wrote}")
     return csr_off, succ[:wrote], tail[:tail_n]
+
+
+def bv_fill_ranges(data: np.ndarray, settings, p: np.ndarray, x0: np.ndarray,
+                   x1: np.ndarray, start_bit: np.ndarray,
+                   init_win: np.ndarray, dst: np.ndarray, arcs: np.ndarray,
+                   succ: np.ndarray, threads: int = 2,
+                   padded: bool = False) -> None:
+    """Batched native decode of many node ranges into ``succ`` in ONE call
+    (wg_bv_fill_ranges; the per-call overhead of bv_decode_range dominates
+    when filling thousands of small hub ranges).
+
+    Range i decodes [x0[i], x1[i]) starting the scan at halo node p[i] whose
+    bit offset is start_bit[i]; init_win[i, j] = outdegree(p[i]-1-j); writes
+    exactly arcs[i] successors at succ[dst[i]:].
+    """
+    lib = _load()
+    if not padded:
+        data = _padded(data)
+    W = settings.window_size
+    nr = len(p)
+    i64 = ctypes.c_int64
+
+    def arr(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    p, x0, x1, start_bit, dst, arcs = map(arr, (p, x0, x1, start_bit, dst,
+                                                arcs))
+    init_win = (arr(init_win).reshape(nr, W) if W
+                else np.zeros((nr, 1), dtype=np.int64))
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding], dtype=np.int32)
+    rc = lib.wg_bv_fill_ranges(
+        _ptr(data), i64(len(data) - 16), i64(nr),
+        _ptr(p, i64), _ptr(x0, i64), _ptr(x1, i64), _ptr(start_bit, i64),
+        _ptr(init_win, i64), ctypes.c_int(W),
+        ctypes.c_int(settings.min_interval_length),
+        ctypes.c_int(settings.zeta_k), _ptr(codings, ctypes.c_int),
+        _ptr(dst, i64), _ptr(arcs, i64), _ptr(succ, i64),
+        ctypes.c_int(threads))
+    if rc < 0:
+        raise RuntimeError(f"native batched fill failed: {rc}")
+
+
+class StreamEncoder:
+    """Streaming BVGraph encoder (wg_enc_*): push CSR slices of unbounded
+    total size; window + reference state carries across pushes, so the
+    output is byte-identical to a single-stream encode of the whole graph.
+    The webgraph-"big" entry point: > 2^31 nodes/arcs never materialize.
+    """
+
+    def __init__(self, settings):
+        lib = _load()
+        if lib is None or not hasattr(lib, "wg_enc_new"):
+            raise RuntimeError("native streaming encoder unavailable")
+        self._lib = lib
+        self.settings = settings
+        codings = np.asarray([settings.outdegree_coding,
+                              settings.reference_coding,
+                              settings.block_count_coding,
+                              settings.block_coding,
+                              settings.residual_coding,
+                              settings.offset_coding], dtype=np.int32)
+        self._h = ctypes.c_void_p(lib.wg_enc_new(
+            ctypes.c_int(settings.window_size),
+            ctypes.c_int(settings.max_ref_count),
+            ctypes.c_int(settings.min_interval_length),
+            ctypes.c_int(settings.zeta_k), _ptr(codings, ctypes.c_int)))
+        self.nodes = 0
+        self.bits = 0
+
+    def push(self, csr_off: np.ndarray, succ: np.ndarray) -> int:
+        """Encode len(csr_off)-1 more nodes; returns graph bits so far."""
+        if self._h is None:
+            raise RuntimeError("encoder already finished")
+        csr_off = np.ascontiguousarray(csr_off, dtype=np.int64)
+        succ = np.ascontiguousarray(succ, dtype=np.int64)
+        k = len(csr_off) - 1
+        bits = self._lib.wg_enc_push(
+            self._h, _ptr(csr_off, ctypes.c_int64),
+            _ptr(succ, ctypes.c_int64), ctypes.c_int64(k))
+        if bits < 0:
+            raise RuntimeError(f"native streaming encode failed: {bits}")
+        self.nodes += k
+        self.bits = bits
+        return bits
+
+    def finish(self):
+        """Returns (graph_bytes, graph_bits, offsets_bytes, offsets_bits,
+        stats) and frees the native handle."""
+        lib = self._lib
+        stats = np.zeros(STAT_WORDS, dtype=np.int64)
+        g_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        o_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        g_bits = ctypes.c_int64()
+        o_bits = ctypes.c_int64()
+        lib.wg_enc_finish(self._h, ctypes.byref(g_ptr), ctypes.byref(g_bits),
+                          ctypes.byref(o_ptr), ctypes.byref(o_bits),
+                          _ptr(stats, ctypes.c_int64))
+        try:
+            g_len = (g_bits.value + 7) // 8
+            o_len = (o_bits.value + 7) // 8
+            graph = np.ctypeslib.as_array(g_ptr, shape=(max(g_len, 1),))[
+                :g_len].copy()
+            offs = np.ctypeslib.as_array(o_ptr, shape=(max(o_len, 1),))[
+                :o_len].copy()
+        finally:
+            lib.wg_buffer_free(g_ptr)
+            lib.wg_buffer_free(o_ptr)
+            lib.wg_enc_free(self._h)
+            self._h = None
+        return graph, g_bits.value, offs, o_bits.value, stats
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None:
+            self._lib.wg_enc_free(self._h)
+            self._h = None
 
 
 #: stats layout returned by bv_encode (mirrors codecs.bvgraph._Encoder):

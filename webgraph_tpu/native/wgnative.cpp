@@ -338,19 +338,18 @@ struct EncSettings {
 
 struct Encoder {
     EncSettings s;
-    const int64_t* csr_off;
-    const int64_t* succ;
-    std::vector<const int64_t*> window;
+    // the window OWNS copies of the last window_size+1 lists, so callers
+    // may stream slices through encode_node without keeping prior slices
+    // alive (the basis of the wg_enc_* streaming API for > 2^31 graphs)
+    std::vector<std::vector<int64_t>> window;
     std::vector<int64_t> window_len;
     std::vector<int> ref_count;
     std::vector<int64_t> blocks, extras;
     int64_t* st;  // stats
 
-    Encoder(const EncSettings& es, const int64_t* co, const int64_t* su,
-            int64_t* stats)
-        : s(es), csr_off(co), succ(su), st(stats) {
+    Encoder(const EncSettings& es, int64_t* stats) : s(es), st(stats) {
         int cyclic = s.window_size + 1;
-        window.assign((size_t)cyclic, nullptr);
+        window.assign((size_t)cyclic, {});
         window_len.assign((size_t)cyclic, 0);
         ref_count.assign((size_t)cyclic, 0);
     }
@@ -530,19 +529,19 @@ struct Encoder {
         return bits;
     }
 
-    // Encode node x; returns bits written.
-    int64_t encode_node(BitWriter& obs, int64_t x) {
+    // Encode node x with successor list curr_list; returns bits written.
+    int64_t encode_node(BitWriter& obs, int64_t x, const int64_t* curr_list,
+                        int64_t outd) {
         int64_t start = obs.written_bits();
         const int cyclic = s.window_size + 1;
         const int curr_index = (int)(x % cyclic);
-        const int64_t* curr_list = succ + csr_off[x];
-        const int64_t outd = csr_off[x + 1] - csr_off[x];
         int64_t t = len_coded(outd, s.c_out, s.zeta_k);
         write_coded(obs, outd, s.c_out, s.zeta_k);
         st[5] += t;
-        window[curr_index] = curr_list;
+        window[curr_index].assign(curr_list, curr_list + outd);
         window_len[curr_index] = outd;
         if (outd == 0) return obs.written_bits() - start;
+        curr_list = window[curr_index].data();
         update_bins(x, curr_list, outd, st + 10);
 
         int64_t best_comp = -1;
@@ -552,7 +551,7 @@ struct Encoder {
         for (int ref = 0; ref < cyclic; ref++) {
             int cand = (int)(((x - ref) % cyclic + cyclic) % cyclic);
             if (ref_count[cand] < s.max_ref_count && window_len[cand] != 0) {
-                int64_t size = diff_comp(nullptr, x, ref, window[cand],
+                int64_t size = diff_comp(nullptr, x, ref, window[cand].data(),
                                          window_len[cand], curr_list, outd,
                                          false);
                 if (best_comp < 0 || size < best_comp) {
@@ -563,8 +562,8 @@ struct Encoder {
             }
         }
         ref_count[curr_index] = ref_count[best_cand] + 1;
-        diff_comp(&obs, x, best_ref, window[best_cand], window_len[best_cand],
-                  curr_list, outd, true);
+        diff_comp(&obs, x, best_ref, window[best_cand].data(),
+                  window_len[best_cand], curr_list, outd, true);
         st[3] += ref_count[curr_index];
         st[4] += best_ref;
         return obs.written_bits() - start;
@@ -890,11 +889,12 @@ int64_t wg_bv_encode(const int64_t* csr_off, const int64_t* succ, int64_t n,
         (size_t)threads, std::vector<int64_t>(STAT_WORDS, 0));
 
     auto encode_range = [&](int t) {
-        Encoder enc(es, csr_off, succ, all_stats[(size_t)t].data());
+        Encoder enc(es, all_stats[(size_t)t].data());
         BitWriter& gw = gws[(size_t)t];
         BitWriter& ow = ows[(size_t)t];
         for (int64_t x = bounds[(size_t)t]; x < bounds[(size_t)t + 1]; x++) {
-            int64_t bits = enc.encode_node(gw, x);
+            int64_t bits = enc.encode_node(gw, x, succ + csr_off[x],
+                                           csr_off[x + 1] - csr_off[x]);
             // offsets gap = this node's entry length (gamma/delta coded)
             write_coded(ow, bits, c_off, zeta_k);
         }
@@ -957,5 +957,121 @@ int64_t wg_bv_encode(const int64_t* csr_off, const int64_t* succ, int64_t n,
 }
 
 void wg_buffer_free(uint8_t* p) { std::free(p); }
+
+// ------------------------------------------------------------------------
+// Streaming encoder: push CSR slices of unbounded total size (the
+// webgraph-"big" regime, > 2^31 nodes/arcs) through a single window-carrying
+// encoder.  Mirrors BVGraph.store over an ImmutableSequentialGraph
+// (BVGraph.java:2373 with one thread; window state carries across slices
+// because Encoder owns copies of the last window_size+1 lists).
+
+namespace {
+struct StreamEnc {
+    EncSettings es;
+    int c_off;
+    std::vector<int64_t> stats;
+    Encoder enc;
+    BitWriter gw, ow;
+    int64_t x = 0;
+
+    StreamEnc(const EncSettings& e, int coff)
+        : es(e), c_off(coff), stats(STAT_WORDS, 0), enc(e, stats.data()) {
+        // leading offsets entry (a zero in the offsets coding)
+        write_coded(ow, 0, c_off, es.zeta_k);
+    }
+};
+
+uint8_t* copy_bits(BitWriter& w, int64_t* bits) {
+    int64_t b = w.written_bits();
+    w.flush();
+    *bits = b;
+    uint8_t* p = (uint8_t*)std::malloc(w.out.size() ? w.out.size() : 1);
+    std::memcpy(p, w.out.data(), w.out.size());
+    return p;
+}
+}  // namespace
+
+void* wg_enc_new(int window_size, int max_ref_count, int min_interval_length,
+                 int zeta_k, const int* codings) {
+    EncSettings es{window_size, max_ref_count, min_interval_length, zeta_k,
+                   codings[0], codings[1], codings[2], codings[3],
+                   codings[4]};
+    return new StreamEnc(es, codings[5]);
+}
+
+// Encode k more nodes whose slice-local CSR is csr_off[0..k] over succ.
+// Returns total graph bits so far, or -1 on error.
+int64_t wg_enc_push(void* h, const int64_t* csr_off, const int64_t* succ,
+                    int64_t k) {
+    StreamEnc* se = (StreamEnc*)h;
+    for (int64_t i = 0; i < k; i++) {
+        int64_t bits = se->enc.encode_node(se->gw, se->x,
+                                           succ + csr_off[i],
+                                           csr_off[i + 1] - csr_off[i]);
+        write_coded(se->ow, bits, se->c_off, se->es.zeta_k);
+        se->x++;
+    }
+    return se->gw.written_bits();
+}
+
+// Finish: copy out graph/offsets streams + stats.  Returns nodes encoded.
+int64_t wg_enc_finish(void* h, uint8_t** graph_out, int64_t* graph_bits,
+                      uint8_t** offsets_out, int64_t* offsets_bits,
+                      int64_t* stats) {
+    StreamEnc* se = (StreamEnc*)h;
+    *graph_out = copy_bits(se->gw, graph_bits);
+    *offsets_out = copy_bits(se->ow, offsets_bits);
+    for (int i = 0; i < STAT_WORDS; i++) stats[i] = se->stats[(size_t)i];
+    return se->x;
+}
+
+void wg_enc_free(void* h) { delete (StreamEnc*)h; }
+
+// ------------------------------------------------------------------------
+// Batched range decode: nr independent ranges in ONE call (the per-call
+// ctypes + buffer-allocation overhead of wg_bv_decode_range dominates when
+// filling thousands of small hub ranges).  Range i decodes nodes
+// [x0[i], x1[i]) starting at halo p[i] / bit start_bit[i] with
+// init_win[i*window_size + j] = outdegree(p[i]-1-j); exactly arcs[i]
+// successors are written at succ + dst[i].  Ranges are split across
+// `threads` std::threads.  Returns 0, or the first range's error (< 0).
+int64_t wg_bv_fill_ranges(const uint8_t* data, int64_t len_bytes,
+                          int64_t nr, const int64_t* p, const int64_t* x0,
+                          const int64_t* x1, const int64_t* start_bit,
+                          const int64_t* init_win,
+                          int window_size, int min_interval_length,
+                          int zeta_k, const int* codings,
+                          const int64_t* dst, const int64_t* arcs,
+                          int64_t* succ, int threads) {
+    if (threads < 1) threads = 1;
+    std::vector<int64_t> errs((size_t)threads, 0);
+    auto work = [&](int t) {
+        std::vector<int64_t> csr;
+        std::vector<int64_t> win((size_t)window_size + 1, 0);
+        for (int64_t i = t; i < nr; i += threads) {
+            csr.resize((size_t)(x1[i] - x0[i] + 1));
+            for (int j = 0; j < window_size; j++)
+                win[(size_t)j + 1] = init_win[i * window_size + j];
+            int64_t rc = wg_bv_decode_range(
+                data, len_bytes, p[i], x0[i], x1[i], start_bit[i],
+                win.data(), window_size, min_interval_length, zeta_k,
+                codings, csr.data(), succ + dst[i], arcs[i], 0, nullptr);
+            if (rc != arcs[i]) {
+                errs[(size_t)t] = rc < 0 ? rc : -4;
+                return;
+            }
+        }
+    };
+    if (threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < threads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    for (int t = 0; t < threads; t++)
+        if (errs[(size_t)t] < 0) return errs[(size_t)t];
+    return 0;
+}
 
 }  // extern "C"

@@ -696,7 +696,7 @@ def _run_tile(meta, col, init_out, spec: KernelSpec,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -740,12 +740,14 @@ class PreparedDecode:
     init_out: jnp.ndarray    # (T, V, 8, 128) int32 (halo lists at rows < H)
     n: int
     m: int
-    chunk_starts: np.ndarray  # int64[L+1] node boundaries
+    chunk_starts: np.ndarray  # int64[L+1] node boundaries (plan-local)
     halo_arcs: np.ndarray     # int64[L] rows occupied by halo lists
     cum_arcs: np.ndarray      # int64[n+1]
     outdegrees: np.ndarray    # int64[n]
     skipped: np.ndarray       # bool[L]: lanes outside the VMEM envelope
     offsets: np.ndarray       # int64[n+1] bit offsets (native fallback)
+    node_base: int = 0        # global id of plan-local node 0 (big slices)
+    arc_base: int = 0         # cum_arcs at the first chunked node
 
     @property
     def lanes(self) -> int:
@@ -833,6 +835,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        v_cap: int = 512, r_cap: int = 160,
                        bmax: int = 32, imax: int = 32,
                        unroll: Optional[int] = None,
+                       node_base: int = 0, first_node: int = 0,
                        ) -> Optional[PreparedDecode]:
     """Build the lane-chunk plan.  Returns None if the config/scale is
     outside the kernel's envelope (caller falls back).
@@ -855,7 +858,8 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     n = len(offsets) - 1
     cum = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(outd, out=cum[1:])
-    m = int(cum[n])
+    arc_base = int(cum[first_node])
+    m = int(cum[n]) - arc_base  # arcs actually chunked ([first_node, n))
 
     W = settings.window_size
 
@@ -873,10 +877,11 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     STATE_COST = 5
     cumc = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(outd + STATE_COST, out=cumc[1:])
-    mc = int(cumc[n])
-    targets = (mc * np.arange(1, L, dtype=np.int64)) // L
+    c0 = int(cumc[first_node])
+    mc = int(cumc[n]) - c0
+    targets = c0 + (mc * np.arange(1, L, dtype=np.int64)) // L
     bounds = np.empty(L + 1, dtype=np.int64)
-    bounds[0] = 0
+    bounds[0] = first_node
     bounds[1:L] = np.searchsorted(cumc, targets, side="left")
     bounds[L] = n
     bounds = np.maximum.accumulate(bounds)
@@ -887,6 +892,9 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     # references; resolve the source arrays up front
     if W > 0 and (starts != ends).any():
         if halo_csr is None:
+            if node_base:
+                raise ValueError("sliced plans (node_base != 0) need an "
+                                 "explicit halo_csr")
             from .. import native as _native
             if not _native.available():
                 return None
@@ -959,7 +967,9 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     )
     if not spec.supported():
         return None
-    if n >= (1 << 31):
+    if node_base + n >= (1 << 31):
+        # int32 value lanes cap the device path at 2^31 node ids; bigger
+        # graphs decode through the native streaming path (iter_csr_slices)
         return None
 
     # stream words, 32-bit big-endian packed.  All packing below is
@@ -978,7 +988,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     meta = np.zeros((L, NMETA), dtype=np.int32)
     meta[:, 0] = np.where(active, ends - starts, 0)
     meta[:, 1] = (start_bits - (w0 << 5)).astype(np.int32)
-    meta[:, 2] = starts.astype(np.int32)
+    meta[:, 2] = (starts + node_base).astype(np.int32)  # global x
     meta[:, 3] = np.where(active, halo_arcs, 0).astype(np.int32)
     hdst = np.zeros(0, dtype=np.int64)
     hval = np.zeros(0, dtype=np.int32)
@@ -1020,7 +1030,8 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     return PreparedDecode(
         spec=spec, meta=meta4, col=col4, init_out=init4, n=n, m=m,
         chunk_starts=bounds, halo_arcs=halo_arcs, cum_arcs=cum,
-        outdegrees=outd, skipped=skipped, offsets=offsets)
+        outdegrees=outd, skipped=skipped, offsets=offsets,
+        node_base=node_base, arc_base=arc_base)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "R", "V", "NMETA"))
@@ -1101,7 +1112,7 @@ def chunked_to_csr(prep: PreparedDecode, out_cols,
     starts, ends = prep.chunk_starts[:-1], prep.chunk_starts[1:]
     arcs = cum[ends] - cum[starts]
     base = (np.arange(prep.lanes, dtype=np.int64) * V + prep.halo_arcs
-            - cum[starts])
+            - (cum[starts] - prep.arc_base))
     idx = np.repeat(base, arcs) + np.arange(prep.m, dtype=np.int64)
     # skipped hub lanes can have halo+arcs > V: their flat indices spill past
     # the lane column (or the array end, for lanes near the tail) — clip;
@@ -1114,13 +1125,21 @@ def chunked_to_csr(prep: PreparedDecode, out_cols,
             raise ValueError("skipped/error lanes need data/settings for "
                              "the native fallback")
         fill_lanes(prep, bad, succ, data, settings)
-    return cum.copy(), succ
+    first = int(prep.chunk_starts[0])
+    return cum[first:] - prep.arc_base, succ
 
 
 def fill_lanes(prep: PreparedDecode, lanes_mask: np.ndarray,
                succ: np.ndarray, data: np.ndarray, settings,
-               offsets=None) -> None:
-    """Native host decode of the masked lanes (hub regions / overflow)."""
+               offsets=None, threads: int = 0) -> None:
+    """Native host decode of the masked lanes (hub regions / overflow).
+
+    Adjacent bad chunks merge into runs (contiguous node ranges share one
+    halo warmup); all runs decode in ONE batched native call
+    (wg_bv_fill_ranges) split over host threads — per-call overhead
+    dominated this path when thousands of hub lanes fell back."""
+    import os as _os
+
     from .. import native as _native
 
     W = settings.window_size
@@ -1132,24 +1151,30 @@ def fill_lanes(prep: PreparedDecode, lanes_mask: np.ndarray,
                            np.zeros(16, dtype=np.uint8)])
     idx = np.flatnonzero(lanes_mask
                          & (prep.chunk_starts[:-1] != prep.chunk_starts[1:]))
-    # merge adjacent bad chunks into single range decodes (chunks are
-    # contiguous node ranges, so runs share one halo warmup)
-    k = 0
-    while k < len(idx):
-        j = k
-        while (j + 1 < len(idx) and idx[j + 1] == idx[j] + 1
-               and prep.chunk_starts[idx[j] + 1]
-               == prep.chunk_starts[idx[j + 1]]):
-            j += 1
-        s = int(prep.chunk_starts[idx[k]])
-        e = int(prep.chunk_starts[idx[j] + 1])
-        p = max(s - halo_n, 0)
-        init = prep.outdegrees[max(p - W, 0):p][::-1]
-        co, su, _ = _native.bv_decode_range(
-            data, settings, p, s, e, int(offs[p]), init,
-            int(cum[e] - cum[s]), padded=True)
-        succ[cum[s]:cum[e]] = su
-        k = j + 1
+    if not len(idx):
+        return
+    # merge adjacent bad chunks into runs
+    brk = np.flatnonzero(
+        (idx[1:] != idx[:-1] + 1)
+        | (prep.chunk_starts[idx[:-1] + 1] != prep.chunk_starts[idx[1:]]))
+    run_first = np.concatenate([[0], brk + 1])
+    run_last = np.concatenate([brk, [len(idx) - 1]])
+    s = prep.chunk_starts[idx[run_first]]
+    e = prep.chunk_starts[idx[run_last] + 1]
+    p = np.maximum(s - halo_n, 0)
+    init = np.zeros((len(s), max(W, 1)), dtype=np.int64)
+    if W > 0:
+        yj = p[:, None] - 1 - np.arange(W, dtype=np.int64)[None, :]
+        ok = yj >= 0
+        init[ok] = prep.outdegrees[yj[ok]]
+    offs = np.asarray(offs) if not hasattr(offs, "get_batch") else offs
+    start_bit = (offs.get_batch(p) if hasattr(offs, "get_batch")
+                 else offs[p])
+    nb = prep.node_base  # node ids are global, stream/arc indices local
+    _native.bv_fill_ranges(
+        data, settings, p + nb, s + nb, e + nb, start_bit, init,
+        cum[s] - prep.arc_base, cum[e] - cum[s], succ,
+        threads=threads or (_os.cpu_count() or 1), padded=True)
 
 
 def check_diag(prep: PreparedDecode, diag) -> np.ndarray:

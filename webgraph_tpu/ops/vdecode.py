@@ -85,6 +85,37 @@ class ParseConfig:
         return tuple(sorted(ks))
 
 
+def _big_fallback(data, offsets, cfg: "ParseConfig", bvgraph=None):
+    """Full decode of a >= 2^31-bit stream via the sliced kernel driver
+    (ops/bigdecode.py), concatenated in RAM.  Node ids must fit int32; for
+    n >= 2^31 use BVGraph.iter_csr_slices (native streaming)."""
+    from .bigdecode import decode_big_slices
+    if bvgraph is not None:
+        settings = bvgraph.settings
+    else:
+        from ..codecs.bvgraph import BVGraphSettings
+        settings = BVGraphSettings(
+            window_size=cfg.window_size,
+            min_interval_length=cfg.min_interval_length,
+            zeta_k=cfg.zeta_k, outdegree_coding=cfg.outdegree_coding,
+            block_coding=cfg.block_coding,
+            residual_coding=cfg.residual_coding,
+            reference_coding=cfg.reference_coding,
+            block_count_coding=cfg.block_count_coding)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    from .. import native as _native
+    outd = _native.decode_outdegrees(np.asarray(data), offsets,
+                                     settings.outdegree_coding)
+    csr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(outd, out=csr[1:])
+    succ = np.empty(int(csr[-1]), dtype=np.int64)
+    for lo, hi, _co, su in decode_big_slices(offsets, outd, settings,
+                                             np.asarray(data)):
+        succ[csr[lo]:csr[hi]] = su
+    return csr, succ
+
+
 def config_from_settings(s, **overrides) -> ParseConfig:
     """Build a ParseConfig from a codecs.bvgraph.BVGraphSettings."""
     return ParseConfig(
@@ -587,12 +618,13 @@ def decode_to_csr(data, offsets, cfg: ParseConfig, bvgraph=None):
     ``bvgraph`` (optional): scalar-oracle graph used to patch rare nodes
     whose copy-block count exceeds cfg.max_blocks.
     """
-    words = jnp.asarray(pack_words_u32(data))
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if offsets[-1] >= 2**31:
-        raise NotImplementedError(
-            "streams >= 2^31 bits require chunked decode (use decode_chunks)")
+        # big stream: delegate to the sliced kernel driver (int32-safe
+        # per-slice rebasing, ops/bigdecode.py)
+        return _big_fallback(data, offsets, cfg, bvgraph)
+    words = jnp.asarray(pack_words_u32(data))
 
     starts = jnp.asarray(offsets[:-1], dtype=jnp.int32)
     outd, after = _pass0(words, starts, cfg)

@@ -22,12 +22,14 @@ __all__ = ["decode_to_csr"]
 def decode_to_csr(data, offsets, cfg: V1.ParseConfig, bvgraph=None,
                   return_device=False):
     """Full v2 vectorized decode: byte stream + bit offsets -> (csr_off, succ)."""
-    words = jnp.asarray(pack_words_u32(data))
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if offsets[-1] >= 2**31:
-        raise NotImplementedError(
-            "streams >= 2^31 bits require chunked decode")
+        # big stream: delegate to the sliced kernel driver (int32-safe
+        # per-slice rebasing, ops/bigdecode.py)
+        from .vdecode import _big_fallback
+        return _big_fallback(data, offsets, cfg, bvgraph)
+    words = jnp.asarray(pack_words_u32(data))
     MB = cfg.max_blocks
 
     starts = jnp.asarray(offsets[:-1], dtype=jnp.int32)
