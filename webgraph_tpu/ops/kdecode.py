@@ -1037,24 +1037,31 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
 @functools.partial(jax.jit, static_argnames=("T", "R", "V", "NMETA"))
 def _stage_device(words, w0, nw, meta, hdst, hval, *, T, R, V, NMETA):
     """Expand compact plan inputs into the kernel's tiled lane arrays
-    (stream columns, meta tiles, halo-initialized grouped output image)."""
+    (stream columns, meta tiles, halo-initialized grouped output image).
+
+    Tiles are staged one at a time under lax.map: a whole-array
+    reshape+transpose materializes multi-GB intermediates at uk-2002 scale
+    (T > 2000 tiles blew the 16 GB HBM), while per-tile intermediates are
+    ~1 MB and the outputs alone bound the footprint."""
     L = T * 1024
-
-    def tiles(a, rows):
-        return a.reshape(T, 1024, rows).transpose(0, 2, 1).reshape(
-            T, rows, 8, 128)
-
-    widx = w0[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]
-    mask = jnp.arange(R, dtype=jnp.int32)[None, :] < nw[:, None]
     nwords_tot = words.shape[0]
-    col = jnp.where(mask,
-                    words[jnp.clip(widx, 0, max(nwords_tot - 1, 0))]
-                    if nwords_tot else jnp.zeros((), jnp.int32), 0)
     init = jnp.zeros((L * V,), jnp.int32).at[hdst].set(hval)
-    # output columns are stored grouped: row r lives at [r//8, r%8, lane]
-    init4 = init.reshape(T, 1024, V // 8, 8).transpose(0, 2, 3, 1).reshape(
-        T, V // 8, 8, 8, 128)
-    return tiles(meta, NMETA), tiles(col, R), init4
+
+    def tile(t):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t * 1024, 1024)  # noqa: E731
+        widx = sl(w0)[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]
+        mask = jnp.arange(R, dtype=jnp.int32)[None, :] < sl(nw)[:, None]
+        col = jnp.where(mask,
+                        words[jnp.clip(widx, 0, max(nwords_tot - 1, 0))]
+                        if nwords_tot else jnp.zeros((), jnp.int32), 0)
+        meta_t = sl(meta).T.reshape(NMETA, 8, 128)
+        col_t = col.T.reshape(R, 8, 128)
+        init_t = jax.lax.dynamic_slice_in_dim(
+            init, t * 1024 * V, 1024 * V).reshape(1024, V // 8, 8)
+        init_t = init_t.transpose(1, 2, 0).reshape(V // 8, 8, 8, 128)
+        return meta_t, col_t, init_t
+
+    return jax.lax.map(tile, jnp.arange(T, dtype=jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
