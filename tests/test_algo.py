@@ -207,6 +207,63 @@ def test_hyperball_neighbourhood_function_exact_small():
     assert abs(nf[-1] - exact_total) / exact_total < 0.3
 
 
+def test_hyperball_systolic_local_register_exact():
+    # A long path with a small cluster: after a couple of rounds only the
+    # wavefront's counters change, so sparse rounds engage (HyperBall.java
+    # :1011 systolic / :1021 local).  Registers must stay identical to the
+    # dense run and the sequential oracle, with per-round arc work dropping.
+    lists = [[i + 1] for i in range(299)] + [[0, 150]]
+    g = CSRGraph.from_lists([np.asarray(l, dtype=np.int64) for l in lists])
+    gt = g.transpose()
+    hb = algo.HyperBall(g, log2m=4, seed=3, gt=gt)
+    hb.run()
+    seq_regs = algo.sequential_hyperball(g, log2m=4, seed=3)
+    np.testing.assert_array_equal(np.asarray(hb.regs), seq_regs)
+    assert "systolic" in hb.mode_history
+    assert "local" in hb.mode_history  # the path wavefront is 1-2 nodes
+
+
+def test_hyperball_sparse_modes_engage_and_cost_drops():
+    rng = np.random.default_rng(7)
+    n = 400
+    lists = []
+    for i in range(n):
+        deg = rng.integers(1, 5)
+        lists.append(np.unique(rng.integers(0, n, deg)).astype(np.int64))
+    g = CSRGraph.from_lists(lists)
+    gt = g.transpose()
+    hb_sparse = algo.HyperBall(g, log2m=5, seed=2, gt=gt)
+    hb_dense = algo.HyperBall(g, log2m=5, seed=2)
+    hb_sparse.run()
+    hb_dense.run()
+    np.testing.assert_array_equal(np.asarray(hb_sparse.regs),
+                                  np.asarray(hb_dense.regs))
+    assert "systolic" in hb_sparse.mode_history
+    # sparse rounds touch fewer arcs than m
+    sparse_rounds = [a for md, a in zip(hb_sparse.mode_history,
+                                        hb_sparse.arcs_touched)
+                     if md != "dense"]
+    assert sparse_rounds and min(sparse_rounds) < g.num_arcs
+
+
+def test_hyperball_save_load_resume(tmp_path):
+    g = erdos_renyi(50, 0.08, seed=9)
+    hb = algo.HyperBall(g, log2m=4, seed=1, gt=g.transpose(),
+                        do_sum_of_distances=True)
+    hb.iterate()
+    hb.iterate()
+    p = str(tmp_path / "state.npz")
+    hb.save_state(p)
+    hb.run()
+    hb2 = algo.HyperBall(g, log2m=4, seed=1, gt=g.transpose(),
+                         do_sum_of_distances=True)
+    hb2.load_state(p)
+    hb2.run()
+    np.testing.assert_array_equal(np.asarray(hb.regs), np.asarray(hb2.regs))
+    np.testing.assert_allclose(hb.sum_of_distances, hb2.sum_of_distances)
+    assert hb.neighbourhood_function == hb2.neighbourhood_function
+
+
 def test_hyperball_centralities_accumulate():
     g = cycle_graph(8)
     hb = algo.HyperBall(g, log2m=6, seed=0, do_sum_of_distances=True,

@@ -19,6 +19,7 @@ from webgraph_tpu.labelling import (
 from webgraph_tpu.labelling.graph import filter_labelled, integer_label_filter
 
 from .graphs import cycle_graph, erdos_renyi
+from webgraph_tpu.core.graph import CSRGraph
 
 
 def make_labelled(g, proto_factory, value_fn):
@@ -108,3 +109,89 @@ def test_fixed_width_detection():
     assert FixedWidthIntLabel("A", 7).fixed_width() == 7
     assert GammaCodedIntLabel("A").fixed_width() == -1
     assert FixedWidthLongListLabel("A", 33).fixed_width() == -1
+
+
+# -- labelled offline transforms (MoreLabelledTransformTest patterns) ----------
+
+
+def test_transpose_offline_labelled():
+    from webgraph_tpu import transform as T
+    g = make_labelled(erdos_renyi(50, 0.08, seed=3),
+                      lambda v: GammaCodedIntLabel("W", v),
+                      lambda x, t: (3 * x + t) % 100)
+    bt = T.transpose_offline_labelled(g, batch_size=37)
+    got = bt.to_arc_labelled()
+    bt.cleanup()
+    # oracle: in-memory transpose keeps each arc's label
+    exp = {}
+    for x, succ, labs in g.iter_labelled():
+        for t, l in zip(succ.tolist(), labs):
+            exp[(t, x)] = l.value
+    seen = {}
+    for y, succ, labs in got.iter_labelled():
+        for t, l in zip(succ.tolist(), labs):
+            seen[(y, t)] = l.value
+    assert seen == exp
+    # double transpose is the identity (labelled)
+    bt2 = T.transpose_offline_labelled(got, batch_size=41)
+    back = bt2.to_arc_labelled()
+    bt2.cleanup()
+    assert back.equals_labelled(g)
+
+
+def test_symmetrize_offline_labelled_merge():
+    from webgraph_tpu import transform as T
+    # graph with some reciprocal arcs: labels of (x,y) and (y,x) merge
+    lists = [[1, 2], [0], [3], []]
+    g0 = CSRGraph.from_lists([np.asarray(l, dtype=np.int64) for l in lists])
+    lab = make_labelled(g0, lambda v: GammaCodedIntLabel("W", v),
+                        lambda x, t: 10 * x + t)
+    bs = T.symmetrize_offline_labelled(
+        lab, merge=lambda a, b: GammaCodedIntLabel("W", a.value + b.value),
+        batch_size=3)
+    got = bs.to_arc_labelled()
+    bs.cleanup()
+    vals = {}
+    for x, succ, labs in got.iter_labelled():
+        for t, l in zip(succ.tolist(), labs):
+            vals[(x, t)] = l.value
+    # (0,1) and (1,0) both exist in g0: labels 1 and 10 merge to 11
+    assert vals[(0, 1)] == 11 and vals[(1, 0)] == 11
+    # (0,2) exists only forward: symmetrized pair carries its label 2
+    assert vals[(0, 2)] == 2 and vals[(2, 0)] == 2
+    assert vals[(2, 3)] == 23 and vals[(3, 2)] == 23
+
+
+def test_compose_labelled_semiring():
+    from webgraph_tpu import transform as T
+    from webgraph_tpu.labelling import LabelSemiring
+    # path weights: multiply = add values, add = min (shortest-path semiring)
+    g0 = make_labelled(CSRGraph.from_lists(
+        [np.asarray(l, dtype=np.int64) for l in [[1, 2], [], [], []]]),
+        lambda v: GammaCodedIntLabel("W", v), lambda x, t: t)  # 0->1 w1, 0->2 w2
+    g1 = make_labelled(CSRGraph.from_lists(
+        [np.asarray(l, dtype=np.int64) for l in [[], [3], [3], []]]),
+        lambda v: GammaCodedIntLabel("W", v), lambda x, t: 5)  # 1->3, 2->3 w5
+    sr = LabelSemiring(
+        add=lambda a, b: GammaCodedIntLabel("W", min(a.value, b.value)),
+        multiply=lambda a, b: GammaCodedIntLabel("W", a.value + b.value),
+        zero=GammaCodedIntLabel("W", 1 << 30), one=GammaCodedIntLabel("W", 0))
+    got = T.compose_labelled(g0, g1, sr)
+    # two paths 0->1->3 (1+5=6) and 0->2->3 (2+5=7): min = 6
+    np.testing.assert_array_equal(got.successors(0), [3])
+    assert got.labels_of(0)[0].value == 6
+
+
+def test_scc_labelled_filter():
+    from webgraph_tpu import algo
+    # a 3-cycle whose closing arc is label-filtered away -> singletons
+    lists = [[1], [2], [0]]
+    g0 = CSRGraph.from_lists([np.asarray(l, dtype=np.int64) for l in lists])
+    lab = make_labelled(g0, lambda v: GammaCodedIntLabel("W", v),
+                        lambda x, t: 1 if (x, t) == (2, 0) else 0)
+    k_all, _ = algo.strongly_connected_components_labelled(
+        lab, lambda l, x, t: True)
+    k_cut, comp = algo.strongly_connected_components_labelled(
+        lab, integer_label_filter(0))
+    assert k_all == 1
+    assert k_cut == 3 and len(np.unique(comp)) == 3

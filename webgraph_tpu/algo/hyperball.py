@@ -105,10 +105,45 @@ def _hb_round(arc_src, arc_tgt, regs):
     return merged
 
 
+@functools.partial(jax.jit, static_argnames=("num_must",))
+def _hb_round_sparse(seg, tgt, must, regs, num_must):
+    """Sparse round: max-merge only the arcs of the must-check nodes.
+
+    ``seg`` maps each (padded) arc to its source's row in ``must``; padded
+    arcs point at the trailing dummy segment, padded must rows carry node
+    index n (dropped by the scatter).  Returns (regs', changed_rows) where
+    changed_rows is per-must-row."""
+    gathered = jnp.take(regs, tgt, axis=0, mode="fill", fill_value=0)
+    merged = jax.ops.segment_max(gathered, seg, num_segments=num_must + 1,
+                                 indices_are_sorted=True)[:-1]
+    old = jnp.take(regs, must, axis=0, mode="fill", fill_value=0)
+    new = jnp.maximum(old, merged.astype(regs.dtype))
+    changed = jnp.any(new != old, axis=1)
+    regs = regs.at[must].set(new, mode="drop")
+    return regs, changed
+
+
+def _pow2(x: int, floor: int = 8) -> int:
+    return max(floor, 1 << int(np.ceil(np.log2(max(x, 1)))))
+
+
 class HyperBall:
-    """Iterative neighbourhood-function computation (HyperBall.run)."""
+    """Iterative neighbourhood-function computation (HyperBall.run).
+
+    When the transpose graph ``gt`` is supplied, rounds become **sparse**
+    once fewer than half the counters changed (the reference's systolic
+    threshold, HyperBall.java:1011): the must-check set — predecessors of
+    last round's modified counters, found through the transpose — is
+    computed up front and the round max-merges only those nodes' arcs
+    (register monotonicity makes this exact: a counter without a modified
+    successor cannot change).  When the must-check set shrinks below 1% of
+    the nodes the round is labelled **local** (HyperBall.java:1021); both
+    run the same padded-subset device kernel, whose cost is proportional to
+    the arcs actually touched rather than to m.  Without ``gt`` every round
+    is dense, as in the reference."""
 
     def __init__(self, g: CSRGraph, log2m: int = 6, seed: int = 0,
+                 gt: Optional[CSRGraph] = None,
                  do_sum_of_distances: bool = False,
                  do_sum_of_inverse_distances: bool = False):
         self.g = g
@@ -118,33 +153,130 @@ class HyperBall:
         src, tgt = g.arcs()
         self._src = jnp.asarray(src, dtype=jnp.int32)
         self._tgt = jnp.asarray(tgt, dtype=jnp.int32)
+        self._off = np.asarray(g.to_csr().offsets, dtype=np.int64)
+        self._succ = np.asarray(g.to_csr().succ, dtype=np.int64)
+        if gt is not None:
+            gtc = gt.to_csr()
+            self._gt_off = np.asarray(gtc.offsets, dtype=np.int64)
+            self._gt_succ = np.asarray(gtc.succ, dtype=np.int64)
+        else:
+            self._gt_off = self._gt_succ = None
         self.regs = jnp.asarray(hyperloglog_init(n, log2m, seed))
         self._counts = estimate_counts(np.asarray(self.regs))
         self.neighbourhood_function: List[float] = [float(n)]
         self.modified = n
+        self._mod_mask: Optional[np.ndarray] = None  # None => dense next
         self.iteration = 0
+        self.mode_history: List[str] = []
+        self.arcs_touched: List[int] = []
         self.sum_of_distances = (np.zeros(n) if do_sum_of_distances else None)
         self.sum_of_inverse_distances = (
             np.zeros(n) if do_sum_of_inverse_distances else None)
 
+    # -- persistence (the analogue of HyperBall main's per-iteration BinIO
+    # register dumps, so long runs can resume) ------------------------------
+    def save_state(self, path: str) -> None:
+        np.savez_compressed(
+            path, regs=np.asarray(self.regs), counts=self._counts,
+            nf=np.asarray(self.neighbourhood_function),
+            iteration=self.iteration, modified=self.modified,
+            mod_mask=(self._mod_mask if self._mod_mask is not None
+                      else np.zeros(0, dtype=bool)),
+            sum_of_distances=(self.sum_of_distances
+                              if self.sum_of_distances is not None
+                              else np.zeros(0)),
+            sum_of_inverse_distances=(
+                self.sum_of_inverse_distances
+                if self.sum_of_inverse_distances is not None
+                else np.zeros(0)),
+            log2m=self.log2m, seed=self.seed)
+
+    def load_state(self, path: str) -> None:
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        assert int(z["log2m"]) == self.log2m and int(z["seed"]) == self.seed
+        self.regs = jnp.asarray(z["regs"])
+        self._counts = z["counts"]
+        self.neighbourhood_function = [float(v) for v in z["nf"]]
+        self.iteration = int(z["iteration"])
+        self.modified = int(z["modified"])
+        mm = z["mod_mask"]
+        self._mod_mask = mm if mm.size else None
+        if z["sum_of_distances"].size:
+            self.sum_of_distances = z["sum_of_distances"]
+        if z["sum_of_inverse_distances"].size:
+            self.sum_of_inverse_distances = z["sum_of_inverse_distances"]
+
+    def _must_check(self) -> np.ndarray:
+        """Predecessors (through the transpose) of last round's modified
+        counters — the only nodes whose counters can change this round."""
+        mod_nodes = np.flatnonzero(self._mod_mask)
+        cnt = self._gt_off[mod_nodes + 1] - self._gt_off[mod_nodes]
+        tot = int(cnt.sum())
+        pos = (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        idx = np.repeat(self._gt_off[mod_nodes], cnt) + pos
+        return np.unique(self._gt_succ[idx])
+
     def iterate(self) -> int:
         """One iteration; returns the number of modified counters
         (HyperBall.iterate :1000)."""
-        new = _hb_round(self._src, self._tgt, self.regs)
-        changed = bool_changed = np.asarray(
-            jnp.any(new != self.regs, axis=1))
-        self.modified = int(bool_changed.sum())
-        self.regs = new
-        self.iteration += 1
-        new_counts = estimate_counts(np.asarray(self.regs))
-        delta = np.maximum(new_counts - self._counts, 0.0)
-        t = self.iteration
-        if self.sum_of_distances is not None:
-            self.sum_of_distances += t * delta
-        if self.sum_of_inverse_distances is not None:
-            self.sum_of_inverse_distances += delta / t
-        self._counts = new_counts
-        self.neighbourhood_function.append(float(new_counts.sum()))
+        n = self.g.num_nodes
+        sparse = (self._gt_off is not None and self._mod_mask is not None
+                  and self.modified < n // 2)
+        t = self.iteration + 1
+        if sparse:
+            must = self._must_check()
+            # label per the reference's preLocal condition
+            # (HyperBall.java:1021): modified < 0.1 * n^2 / m
+            mode = ("local" if self.modified * self.g.num_arcs * 10 < n * n
+                    else "systolic")
+            cnt = self._off[must + 1] - self._off[must]
+            tot = int(cnt.sum())
+            pos = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            aidx = np.repeat(self._off[must], cnt) + pos
+            P, E = _pow2(len(must)), _pow2(tot)
+            must_p = np.full(P, n, dtype=np.int32)
+            must_p[:len(must)] = must
+            seg_p = np.full(E, P, dtype=np.int32)
+            seg_p[:tot] = np.repeat(np.arange(len(must), dtype=np.int32),
+                                    cnt)
+            tgt_p = np.full(E, n, dtype=np.int32)
+            tgt_p[:tot] = self._succ[aidx]
+            self.regs, changed = _hb_round_sparse(
+                jnp.asarray(seg_p), jnp.asarray(tgt_p), jnp.asarray(must_p),
+                self.regs, P)
+            ch = np.asarray(changed)[:len(must)]
+            changed_nodes = must[ch]
+            self.arcs_touched.append(tot)
+        else:
+            mode = "dense"
+            new = _hb_round(self._src, self._tgt, self.regs)
+            changed_nodes = np.flatnonzero(
+                np.asarray(jnp.any(new != self.regs, axis=1)))
+            self.regs = new
+            self.arcs_touched.append(self.g.num_arcs)
+        self.mode_history.append(mode)
+        mask = np.zeros(n, dtype=bool)
+        mask[changed_nodes] = True
+        self._mod_mask = mask
+        self.modified = int(len(changed_nodes))
+        self.iteration = t
+
+        # incremental count update: only changed counters moved
+        if len(changed_nodes):
+            Pc = _pow2(len(changed_nodes))
+            cn_p = np.full(Pc, 0, dtype=np.int32)
+            cn_p[:len(changed_nodes)] = changed_nodes
+            sub = np.asarray(jnp.take(self.regs, jnp.asarray(cn_p), axis=0))
+            new_counts = estimate_counts(sub[:len(changed_nodes)])
+            delta = np.maximum(new_counts - self._counts[changed_nodes], 0.0)
+            if self.sum_of_distances is not None:
+                self.sum_of_distances[changed_nodes] += t * delta
+            if self.sum_of_inverse_distances is not None:
+                self.sum_of_inverse_distances[changed_nodes] += delta / t
+            self._counts[changed_nodes] = new_counts
+        self.neighbourhood_function.append(float(self._counts.sum()))
         return self.modified
 
     def run(self, upper_bound: int = -1, threshold: float = -1.0

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..core.graph import CSRGraph
 
-__all__ = ["strongly_connected_components", "scc_sizes", "scc_buckets"]
+__all__ = ["strongly_connected_components", "scc_sizes", "scc_buckets",
+           "strongly_connected_components_labelled"]
 
 
 @jax.jit
@@ -141,3 +142,15 @@ def scc_buckets(g: CSRGraph, component: np.ndarray) -> np.ndarray:
     np.logical_or.at(has_loop, component[src[loops]], True)
     nondangling = (sizes > 1) | has_loop
     return terminal & nondangling
+
+
+def strongly_connected_components_labelled(g, pred) -> Tuple[int, np.ndarray]:
+    """SCC of a labelled graph considering only arcs accepted by the
+    labelled arc filter ``pred(label, source, target)``
+    (StronglyConnectedComponents.java:375).  ``g`` must expose
+    ``iter_labelled()`` (ArcLabelledGraph / BitStreamArcLabelledGraph)."""
+    lists = []
+    for x, succ, labs in g.iter_labelled():
+        keep = [t for t, l in zip(succ.tolist(), labs) if pred(l, x, t)]
+        lists.append(np.asarray(keep, dtype=np.int64))
+    return strongly_connected_components(CSRGraph.from_lists(lists))

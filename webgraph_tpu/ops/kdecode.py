@@ -1021,10 +1021,19 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
             hdst = np.repeat(dst0, cnt) + within
             hval = hsu[np.repeat(src0, cnt) + within].astype(np.int32)
 
-    meta4, col4, init4 = _stage_device(
+    # halo image: scatter the sparse halo values straight into the kernel's
+    # tiled (T, V//8, 8, 8, 128) layout.  The tiled flat index is computed on
+    # host; building the image by reshaping a (lane, row) array instead would
+    # materialize an intermediate whose trailing dim of 8 TPU-tiles to 128
+    # (16x padding -> tens of GB at uk-2002 scale).
+    lane_i = hdst // V
+    row_i = hdst - lane_i * V
+    hdst4 = ((lane_i >> 10) * (V * 1024) + (row_i >> 3) * 8192
+             + (row_i & 7) * 1024 + (lane_i & 1023))
+    init4 = _stage_init(jnp.asarray(hdst4), jnp.asarray(hval), T=T, V=V)
+    meta4, col4 = _stage_device(
         jnp.asarray(words.view(np.int32)), jnp.asarray(w0.astype(np.int32)),
         jnp.asarray(nw_act), jnp.asarray(meta),
-        jnp.asarray(hdst.astype(np.int64)), jnp.asarray(hval),
         T=T, R=R, V=V, NMETA=NMETA)
 
     return PreparedDecode(
@@ -1034,18 +1043,25 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         node_base=node_base, arc_base=arc_base)
 
 
+@functools.partial(jax.jit, static_argnames=("T", "V"))
+def _stage_init(hdst4, hval, *, T, V):
+    """Halo-initialized grouped output image, built by one flat scatter into
+    the final (T, V//8, 8, 8, 128) layout (trailing dims are exactly one TPU
+    tile, so no layout padding)."""
+    return (jnp.zeros((T * V * 1024,), jnp.int32).at[hdst4].set(hval)
+            .reshape(T, V // 8, 8, 8, 128))
+
+
 @functools.partial(jax.jit, static_argnames=("T", "R", "V", "NMETA"))
-def _stage_device(words, w0, nw, meta, hdst, hval, *, T, R, V, NMETA):
+def _stage_device(words, w0, nw, meta, *, T, R, V, NMETA):
     """Expand compact plan inputs into the kernel's tiled lane arrays
-    (stream columns, meta tiles, halo-initialized grouped output image).
+    (stream columns + meta tiles).
 
     Tiles are staged one at a time under lax.map: a whole-array
     reshape+transpose materializes multi-GB intermediates at uk-2002 scale
     (T > 2000 tiles blew the 16 GB HBM), while per-tile intermediates are
     ~1 MB and the outputs alone bound the footprint."""
-    L = T * 1024
     nwords_tot = words.shape[0]
-    init = jnp.zeros((L * V,), jnp.int32).at[hdst].set(hval)
 
     def tile(t):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t * 1024, 1024)  # noqa: E731
@@ -1056,10 +1072,7 @@ def _stage_device(words, w0, nw, meta, hdst, hval, *, T, R, V, NMETA):
                         if nwords_tot else jnp.zeros((), jnp.int32), 0)
         meta_t = sl(meta).T.reshape(NMETA, 8, 128)
         col_t = col.T.reshape(R, 8, 128)
-        init_t = jax.lax.dynamic_slice_in_dim(
-            init, t * 1024 * V, 1024 * V).reshape(1024, V // 8, 8)
-        init_t = init_t.transpose(1, 2, 0).reshape(V // 8, 8, 8, 128)
-        return meta_t, col_t, init_t
+        return meta_t, col_t
 
     return jax.lax.map(tile, jnp.arange(T, dtype=jnp.int32))
 

@@ -238,3 +238,15 @@ from .offline import (  # noqa: E402
 
 __all__ += ["BatchGraph", "map_offline_batched", "process_batch",
             "symmetrize_offline", "simplify_offline", "transpose_offline"]
+
+from .labelled import (  # noqa: E402
+    LabelledBatchGraph,
+    compose_labelled,
+    process_labelled_batch,
+    symmetrize_offline_labelled,
+    transpose_offline_labelled,
+)
+
+__all__ += ["LabelledBatchGraph", "compose_labelled",
+            "process_labelled_batch", "symmetrize_offline_labelled",
+            "transpose_offline_labelled"]
