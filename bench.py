@@ -159,7 +159,7 @@ def main():
 
     results = {"cnr2000": extra}
 
-    # uk-2002-scale synthetic (~18.5M nodes / ~296M arcs) runs by default;
+    # uk-2002-scale synthetic (~18.5M nodes / ~355M arcs) runs by default;
     # BENCH_SYNTH_NODES=0 disables.  Failures there must not lose the
     # headline line.
     synth_nodes = int(os.environ.get("BENCH_SYNTH_NODES", 18_500_000))
@@ -175,12 +175,25 @@ def main():
                            "BENCH_EXTRA.json"), "w") as f:
         json.dump(results, f, indent=1, default=str)
 
-    print(json.dumps({
-        "metric": "bvgraph_decode_cnr2000_edges_per_sec",
-        "value": round(eps / 1e6, 2),
-        "unit": "Medges/s",
-        "vs_baseline": round(eps / TARGET, 4),
-    }))
+    # headline: BASELINE.md's build target is uk-2002 scale, so report the
+    # synthetic's decode rate when it ran; cnr-2000 otherwise (both always
+    # land in BENCH_EXTRA.json)
+    synth = results.get("synthetic", {})
+    if synth.get("bit_exact"):
+        s_eps = synth["decode_Medges_per_s"] * 1e6
+        print(json.dumps({
+            "metric": "bvgraph_decode_uk2002scale_edges_per_sec",
+            "value": round(s_eps / 1e6, 2),
+            "unit": "Medges/s",
+            "vs_baseline": round(s_eps / TARGET, 4),
+        }))
+    else:
+        print(json.dumps({
+            "metric": "bvgraph_decode_cnr2000_edges_per_sec",
+            "value": round(eps / 1e6, 2),
+            "unit": "Medges/s",
+            "vs_baseline": round(eps / TARGET, 4),
+        }))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ from ..ops.packed import pack_words_u32
 from ..ops.vparse2 import (init_regs, parse_step_bound,
                            parse_v2_megastep, pass05)
 
-__all__ = ["make_mesh", "decode_sharded"]
+__all__ = ["make_mesh", "decode_sharded", "decode_sharded_kernel"]
 
 
 def make_mesh(devices=None, axis: str = "chunks") -> Mesh:
@@ -196,3 +196,58 @@ def decode_sharded(data, offsets, cfg: V1.ParseConfig, mesh: Mesh,
         a = int(local_csr[keep_lo - lo])
         out_rows[csr_off_np[keep_lo]:csr_off_np[hi]] = rows[a:]
     return csr_off_np, out_rows
+
+
+def decode_sharded_kernel(prep, mesh: Mesh, interpret: Optional[bool] = None):
+    """Shard the Pallas kernel decode's lane-tiles over a device mesh.
+
+    The kernel plan (ops.kdecode.PreparedDecode) already cuts the graph into
+    independent lane-chunks with pre-injected halos, so data parallelism is
+    communication-free: each device runs its share of the tiles (the
+    multi-chip analogue of the reference's splitNodeIterators node ranges,
+    ImmutableGraph.java:405; per-thread output concatenation
+    BVGraph.java:2432-2483 becomes the node-ordered gather of the sharded
+    output columns).  Returns (out_cols, diag) with leading tile dim T,
+    gathered to the host-addressable sharded arrays; feed them to
+    ``kdecode.check_diag`` / ``kdecode.chunked_to_csr`` exactly like the
+    single-chip path.
+    """
+    from jax import shard_map
+
+    from ..ops import kdecode as K
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    spec = prep.spec
+    T = spec.T
+    Tp = -(-T // D) * D
+    meta, col, init = prep.meta, prep.col, prep.init_out
+    if Tp != T:
+        # pad with empty tiles: meta[0] == 0 lanes go straight to ST_DONE
+        def pad(a):
+            z = jnp.zeros((Tp - T,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, z])
+        meta, col, init = pad(meta), pad(col), pad(init)
+    sh = lambda: NamedSharding(mesh, P(axis))  # noqa: E731
+    meta = jax.device_put(meta, sh())
+    col = jax.device_put(col, sh())
+    init = jax.device_put(init, sh())
+
+    def shard_fn(m, c, i):
+        def step(_, xs):
+            mm, cc, ii = xs
+            return None, K._run_tile(mm, cc, ii, spec, interpret)
+
+        _, (o, dg) = jax.lax.scan(step, None, (m, c, i))
+        return o, dg
+
+    f = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    ))
+    out, diag = f(meta, col, init)
+    return out[:T], diag[:T]
