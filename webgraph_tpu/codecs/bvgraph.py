@@ -639,7 +639,8 @@ class BVGraph(ImmutableGraph):
               min_interval_length: int = -1, zeta_k: int = -1,
               settings: Optional[BVGraphSettings] = None,
               comment: str = "BVGraph properties",
-              backend: str = "auto", num_threads: int = 0) -> Dict[str, str]:
+              backend: str = "auto", num_threads: int = 0,
+              pl=None) -> Dict[str, str]:
         """Compress ``graph`` to ``basename.{graph,offsets,properties}``.
 
         Exact re-implementation of the reference encoder semantics
@@ -675,12 +676,19 @@ class BVGraph(ImmutableGraph):
         offsets_w = BitWriter()
         bit_offset = 0
         n = 0
+        if pl is not None:
+            pl.items_name = "nodes"
+            pl.start("Storing...")
         for x, succ in graph.iter_nodes():
             n = x + 1
             s.write_offset(offsets_w, graph_w.written_bits - bit_offset)
             bit_offset = graph_w.written_bits
             enc.encode_node(graph_w, x, np.asarray(succ, dtype=np.int64))
+            if pl is not None:
+                pl.light_update()
         s.write_offset(offsets_w, graph_w.written_bits - bit_offset)
+        if pl is not None:
+            pl.done()
 
         with open(basename + GRAPH_EXTENSION, "wb") as f:
             f.write(graph_w.to_bytes())

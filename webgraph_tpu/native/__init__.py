@@ -43,6 +43,8 @@ def _load():
             lib.wg_enc_free.restype = None
         if hasattr(lib, "wg_bv_fill_ranges"):
             lib.wg_bv_fill_ranges.restype = ctypes.c_int64
+        if hasattr(lib, "wg_select_refs"):
+            lib.wg_select_refs.restype = ctypes.c_int64
         _lib = lib
     return _lib
 
@@ -360,3 +362,25 @@ def bv_encode(csr_off: np.ndarray, succ: np.ndarray, settings,
         lib.wg_buffer_free(g_ptr)
         lib.wg_buffer_free(o_ptr)
     return graph, g_bits.value, offs, o_bits.value, stats
+
+
+def select_refs(costs: np.ndarray, outd: np.ndarray, window_size: int,
+                max_ref_count: int, chunk_bounds: np.ndarray) -> np.ndarray:
+    """Greedy reference selection over a precomputed cost matrix
+    (wg_select_refs; exactly BVGraph.java:2256-2270 semantics — the one
+    sequential step of the vectorized encoder)."""
+    lib = _load()
+    costs = np.ascontiguousarray(costs, dtype=np.int64)
+    outd = np.ascontiguousarray(outd, dtype=np.int64)
+    chunk_bounds = np.ascontiguousarray(chunk_bounds, dtype=np.int64)
+    n = len(outd)
+    assert costs.shape == (n, window_size + 1)
+    refs = np.zeros(n, dtype=np.int32)
+    rc = lib.wg_select_refs(
+        _ptr(costs, ctypes.c_int64), _ptr(outd, ctypes.c_int64),
+        ctypes.c_int64(n), ctypes.c_int(window_size),
+        ctypes.c_int(max_ref_count), _ptr(chunk_bounds, ctypes.c_int64),
+        ctypes.c_int64(len(chunk_bounds) - 1), _ptr(refs, ctypes.c_int32))
+    if rc < 0:
+        raise RuntimeError(f"select_refs failed: {rc}")
+    return refs
