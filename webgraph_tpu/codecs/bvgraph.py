@@ -670,6 +670,8 @@ class BVGraph(ImmutableGraph):
             backend = "native" if _native.available() else "python"
         if backend == "native":
             return cls._store_native(graph, basename, s, comment, num_threads)
+        if backend == "tpu":
+            return cls._store_tpu(graph, basename, s, comment)
 
         enc = _Encoder(s)
         graph_w = BitWriter()
@@ -786,6 +788,47 @@ class BVGraph(ImmutableGraph):
         with open(basename + OFFSETS_EXTENSION, "wb") as f:
             f.write(offs_b.tobytes())
 
+        enc = _Encoder(s)
+        enc.tot_links = int(st[0] + st[1] + st[2])
+        (enc.copied_arcs, enc.intervalised_arcs, enc.residual_arcs,
+         enc.tot_ref, enc.tot_dist, enc.bits_for_outdegrees,
+         enc.bits_for_references, enc.bits_for_blocks,
+         enc.bits_for_intervals, enc.bits_for_residuals) = map(int, st[:10])
+        enc.successor_gap_stats = [int(v) for v in st[10:74]]
+        enc.residual_gap_stats = [int(v) for v in st[74:138]]
+        props = enc.build_properties(n, int(gbits))
+        javaprops.dump(props, basename + PROPERTIES_EXTENSION_FULL, comment)
+        return props
+
+    @classmethod
+    def _store_tpu(cls, graph: ImmutableGraph, basename: str,
+                   s: BVGraphSettings, comment: str) -> Dict[str, str]:
+        """Vectorized device encode path (ops.vencode): chunked cost
+        matrices -> one native greedy-selection pass -> device token
+        packing with bit-exact chunk concatenation.  Byte-identical to
+        the scalar/native single-stream encoders."""
+        from ..core.graph import CSRGraph
+        from ..ops import vencode
+
+        if not vencode.supported(s):
+            raise ValueError("tpu backend does not support this coding "
+                             "combination; use backend='native'")
+        g = graph if isinstance(graph, CSRGraph) else graph.to_csr()
+        csr_off = np.asarray(g.offsets, dtype=np.int64)
+        succ = np.asarray(g.succ)
+        n = len(csr_off) - 1
+        if n and int(succ.max(initial=0)) >= (1 << 31):
+            raise ValueError("tpu backend requires int32 node ids; "
+                             "use the native StreamEncoder beyond 2^31")
+        graph_b, gbits, starts, st = vencode.encode_csr_chunked(
+            csr_off, succ, s)
+        with open(basename + GRAPH_EXTENSION, "wb") as f:
+            f.write(graph_b)
+        gaps = (np.concatenate([[0], np.diff(starts), [gbits - starts[-1]]])
+                if n else np.asarray([0], dtype=np.int64))
+        offs_b, _obits = vencode.pack_gaps(gaps, s.offset_coding, s.zeta_k)
+        with open(basename + OFFSETS_EXTENSION, "wb") as f:
+            f.write(offs_b)
         enc = _Encoder(s)
         enc.tot_links = int(st[0] + st[1] + st[2])
         (enc.copied_arcs, enc.intervalised_arcs, enc.residual_arcs,

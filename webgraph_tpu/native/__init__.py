@@ -365,10 +365,11 @@ def bv_encode(csr_off: np.ndarray, succ: np.ndarray, settings,
 
 
 def select_refs(costs: np.ndarray, outd: np.ndarray, window_size: int,
-                max_ref_count: int, chunk_bounds: np.ndarray) -> np.ndarray:
+                max_ref_count: int, chunk_bounds: np.ndarray):
     """Greedy reference selection over a precomputed cost matrix
     (wg_select_refs; exactly BVGraph.java:2256-2270 semantics — the one
-    sequential step of the vectorized encoder)."""
+    sequential step of the vectorized encoder).  Returns (refs, ref_counts):
+    winner window distance and reference-chain depth per node."""
     lib = _load()
     costs = np.ascontiguousarray(costs, dtype=np.int64)
     outd = np.ascontiguousarray(outd, dtype=np.int64)
@@ -376,11 +377,13 @@ def select_refs(costs: np.ndarray, outd: np.ndarray, window_size: int,
     n = len(outd)
     assert costs.shape == (n, window_size + 1)
     refs = np.zeros(n, dtype=np.int32)
+    rcs = np.zeros(n, dtype=np.int32)
     rc = lib.wg_select_refs(
         _ptr(costs, ctypes.c_int64), _ptr(outd, ctypes.c_int64),
         ctypes.c_int64(n), ctypes.c_int(window_size),
         ctypes.c_int(max_ref_count), _ptr(chunk_bounds, ctypes.c_int64),
-        ctypes.c_int64(len(chunk_bounds) - 1), _ptr(refs, ctypes.c_int32))
+        ctypes.c_int64(len(chunk_bounds) - 1), _ptr(refs, ctypes.c_int32),
+        _ptr(rcs, ctypes.c_int32))
     if rc < 0:
         raise RuntimeError(f"select_refs failed: {rc}")
-    return refs
+    return refs, rcs

@@ -1036,11 +1036,13 @@ void wg_enc_free(void* h) { delete (StreamEnc*)h; }
 // improvement, first minimum wins.  Window resets at each chunk bound
 // (per-thread semantics, BVGraph.java:2406).  costs[x*(W+1)+r] is the
 // diff_comp bit count (< 0 marks r unavailable, e.g. envelope overflow).
-// Writes refs[x] in [0, W].  Returns 0.
+// Writes refs[x] in [0, W] and (when rc_out != null) the per-node
+// reference-chain depth (Encoder ref_count; feeds the avgref stat).
+// Returns 0.
 int64_t wg_select_refs(const int64_t* costs, const int64_t* outd, int64_t n,
                        int window_size, int max_ref_count,
                        const int64_t* chunk_bounds, int64_t n_chunks,
-                       int32_t* refs) {
+                       int32_t* refs, int32_t* rc_out) {
     const int cyclic = window_size + 1;
     std::vector<int> rc((size_t)cyclic, 0);
     std::vector<int64_t> wlen((size_t)cyclic, 0);
@@ -1050,7 +1052,10 @@ int64_t wg_select_refs(const int64_t* costs, const int64_t* outd, int64_t n,
             const int slot = (int)(x % cyclic);
             wlen[(size_t)slot] = outd[x];
             refs[x] = 0;
-            if (outd[x] == 0) continue;
+            if (outd[x] == 0) {
+                if (rc_out) rc_out[x] = 0;
+                continue;
+            }
             rc[(size_t)slot] = -1;
             int64_t best = -1;
             int best_slot = slot;
@@ -1069,6 +1074,7 @@ int64_t wg_select_refs(const int64_t* costs, const int64_t* outd, int64_t n,
             }
             rc[(size_t)slot] = rc[(size_t)best_slot] + 1;
             refs[x] = (int32_t)best_r;
+            if (rc_out) rc_out[x] = (int32_t)rc[(size_t)slot];
         }
     }
     return 0;
