@@ -144,7 +144,7 @@ def _make_kernel(spec: KernelSpec):
                                if k != K_NONE}))
 
     def kernel(meta_ref, col_ref, init_out_ref, out_ref, diag_ref,
-               win_d, win_row, blkbuf, intbuf, dma_sem):
+               win_d, win_row, blkbuf, intbufL, intbufN, dma_sem):
         zi = jnp.zeros((8, 128), jnp.int32)
         zu = jnp.zeros((8, 128), jnp.uint32)
         # halo lists: DMA the HBM-resident init image into the VMEM output
@@ -158,7 +158,7 @@ def _make_kernel(spec: KernelSpec):
         rows_R = jax.lax.broadcasted_iota(jnp.int32, (R, 8, 128), 0)
         rows_G = jax.lax.broadcasted_iota(jnp.int32, (V8, 8, 128), 0)
         rows_B = jax.lax.broadcasted_iota(jnp.int32, (BMAX, 8, 128), 0)
-        rows_I = jax.lax.broadcasted_iota(jnp.int32, (2 * IMAX, 8, 128), 0)
+        rows_I = jax.lax.broadcasted_iota(jnp.int32, (IMAX, 8, 128), 0)
         rows_C = jax.lax.broadcasted_iota(jnp.int32, (CYC, 8, 128), 0)
 
         n_nodes = meta_ref[0]
@@ -177,15 +177,18 @@ def _make_kernel(spec: KernelSpec):
 
         def out_read(row, en, fw, stw, wcur):
             """Read output row per lane: flushed rows (< fw) via masked sums
-            over the grouped buffer, unflushed rows from the stage banks."""
+            over the grouped buffer, unflushed rows from the stage banks.
+
+            One group-mask compare shared across the 8 byte lanes (the j
+            select is per-lane register work, not a VMEM sweep)."""
             gsel = row >> 3
             jsel = row & 7
             flushed = en & (row < fw)
+            m_g = rows_G == jnp.where(flushed, gsel, -1)[None]
             v = jnp.zeros((8, 128), jnp.int32)
             for j in range(8):
-                mj = rows_G == jnp.where(flushed & (jsel == j), gsel,
-                                         -1)[None]
-                v = v + jnp.sum(jnp.where(mj, out_ref[:, j], 0), axis=0)
+                vj = jnp.sum(jnp.where(m_g, out_ref[:, j], 0), axis=0)
+                v = jnp.where(jsel == j, vj, v)
             # stage read-through: rows written since the last flush sweep
             vs = jnp.zeros((8, 128), jnp.int32)
             bsel = gsel & 1
@@ -204,8 +207,8 @@ def _make_kernel(spec: KernelSpec):
             for b in range(2):
                 gb = jnp.where((gc & 1) == b, gc, gc - 1)
                 gb = jnp.where(gb >= g0, gb, -1)
+                m = rows_G == gb[None]  # one compare shared by all 8 lanes
                 for j in range(8):
-                    m = rows_G == gb[None]
                     out_ref[:, j] = jnp.where(m, stw[b * 8 + j][None],
                                               out_ref[:, j])
 
@@ -513,10 +516,9 @@ def _make_kernel(spec: KernelSpec):
                 nst = jnp.where(m_ileft, ST_ILEN, nst)
 
                 ln = vi + MININT
-                iw0 = (rows_I == jnp.where(m_ilen, 2 * i_idx, -1)[None])
-                iw1 = (rows_I == jnp.where(m_ilen, 2 * i_idx + 1, -1)[None])
-                intbuf[:] = jnp.where(iw0, ileft[None],
-                                      jnp.where(iw1, ln[None], intbuf[:]))
+                iw = (rows_I == jnp.where(m_ilen, i_idx, -1)[None])
+                intbufL[:] = jnp.where(iw, ileft[None], intbufL[:])
+                intbufN[:] = jnp.where(iw, ln[None], intbufN[:])
                 iprev = jnp.where(m_ilen, ileft + ln, iprev)
                 extra = jnp.where(m_ilen, extra - ln, extra)
                 err = err | jnp.where(m_ilen & (extra < 0), E_COUNT, 0)
@@ -564,8 +566,9 @@ def _make_kernel(spec: KernelSpec):
                 iinit = jnp.zeros_like(init_emit)
             i_sel = jnp.where(iinit, 0, i_next)
             iread = itrans | iinit
-            nl, nn = buf_pair_read(intbuf, rows_I, 2 * i_sel, 2 * i_sel + 1,
-                                   iread)
+            im = rows_I == jnp.where(iread, i_sel, -1)[None]
+            nl = jnp.sum(jnp.where(im, intbufL[:], 0), axis=0)
+            nn = jnp.sum(jnp.where(im, intbufN[:], 0), axis=0)
             iv = jnp.where(iread, nl, iv)
             ilen_rem = jnp.where(iread, nn, ilen_rem)
             i_next = jnp.where(iread, i_sel + 1, i_next)
@@ -712,7 +715,8 @@ def _run_tile(meta, col, init_out, spec: KernelSpec,
             pltpu.VMEM((spec.window_size + 1, 8, 128), jnp.int32),  # win_d
             pltpu.VMEM((spec.window_size + 1, 8, 128), jnp.int32),  # win_row
             pltpu.VMEM((spec.BMAX, 8, 128), jnp.int32),   # blkbuf
-            pltpu.VMEM((2 * spec.IMAX, 8, 128), jnp.int32),  # intbuf
+            pltpu.VMEM((spec.IMAX, 8, 128), jnp.int32),  # intbuf lefts
+            pltpu.VMEM((spec.IMAX, 8, 128), jnp.int32),  # intbuf lens
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
