@@ -36,12 +36,15 @@ def run(cfg, data, offsets, n, m, settings, oracle):
         offsets, outd, settings, data, halo_csr=(hco, hsu), refs=refs,
         target_arcs_per_lane=cfg.get("ta", 128), v_cap=cfg.get("vc", 256),
         r_cap=cfg.get("rc", 96), bmax=cfg.get("bm", 32),
-        imax=cfg.get("im", 32), unroll=cfg.get("un"))
+        imax=cfg.get("im", 32), unroll=cfg.get("un"),
+        burst=cfg.get("bu", 4))
     plan_s = time.time() - t0
     if prep is None:
         return dict(cfg=cfg, error="no plan")
     o, dg = K.decode_chunked(prep)
     jax.block_until_ready((o, dg))
+    dgn = np.asarray(dg).reshape(prep.spec.T, K.DIAG_ROWS, 1024)
+    steps = dgn[:, K.DIAG_STEPS, 0]          # per-tile iteration count
     errs = K.check_diag(prep, np.asarray(dg))
     bad = prep.skipped | (errs != 0)
     bad_arcs = int((prep.cum_arcs[prep.chunk_starts[1:]]
@@ -70,8 +73,11 @@ def run(cfg, data, offsets, n, m, settings, oracle):
         dev_s.append(t_dev / depth)
         res = None
     decode_s = sorted(times)[1]
+    tot_steps = int(steps.sum())
     return dict(cfg=cfg, plan_s=round(plan_s, 1),
                 T=prep.spec.T, V=prep.spec.V, R=prep.spec.R,
+                steps=tot_steps,
+                ns_step=round(sorted(dev_s)[1] / max(tot_steps, 1) * 1e9, 1),
                 depth=depth,
                 fill_s=round(fill_s, 3),
                 dev_s=round(sorted(dev_s)[1], 4),

@@ -314,3 +314,28 @@ def test_effective_diameter():
     assert abs(ed - exact_ed) / exact_ed < 0.25
     assert algo.effective_diameter([], 0.9) == 0.0
     assert algo.effective_diameter([5.0], 0.9) == 0.0
+
+
+def test_hyperball_external_register_exact(tmp_path):
+    """External mode (host/memmap registers, chunked device merges,
+    buffered update lists — HyperBall.java:268-273, :1104-1130) is
+    register-exact vs the sequential oracle, dense and sparse."""
+    g = erdos_renyi(120, 0.05, seed=9)
+    seq_regs = algo.sequential_hyperball(g, log2m=4, seed=1)
+    # in-memory host registers, tiny chunks force many batches per round
+    hb = algo.HyperBall(g, log2m=4, seed=1, external_chunk=64)
+    hb.run()
+    np.testing.assert_array_equal(np.asarray(hb.regs), seq_regs)
+    assert "dense-external" in hb.mode_history
+    # disk-backed memmap registers + systolic/local sparse rounds
+    gt = g.transpose()
+    hb2 = algo.HyperBall(g, log2m=4, seed=1, gt=gt, external_chunk=64,
+                         regs_path=str(tmp_path / "regs.npy"))
+    hb2.run()
+    np.testing.assert_array_equal(np.asarray(hb2.regs), seq_regs)
+    assert any(m.endswith("-external") and m != "dense-external"
+               for m in hb2.mode_history)
+    # NF identical between external and standard runs
+    hb3 = algo.HyperBall(g, log2m=4, seed=1)
+    hb3.run()
+    assert hb3.neighbourhood_function == hb.neighbourhood_function

@@ -195,3 +195,48 @@ def test_scc_labelled_filter():
         lab, integer_label_filter(0))
     assert k_all == 1
     assert k_cut == 3 and len(np.unique(comp)) == 3
+
+
+def test_fused_store_labelled_matches_two_pass(tmp_path):
+    """BVGraph.store_labelled (one fused pass, BVGraph.java:1735-1853)
+    writes byte-identical graph AND label files vs the separate-pass
+    store."""
+    g = erdos_renyi(80, 0.08, seed=5)
+    lab = make_labelled(g, lambda v: GammaCodedIntLabel("TEST", v),
+                        lambda x, t: (x * 3 + t) % 500)
+    a = str(tmp_path / "two")
+    BVGraph.store(g, a, backend="python")
+    BitStreamArcLabelledGraph.store(lab, a + "-label", "two")
+    b = str(tmp_path / "one")
+    BVGraph.store_labelled(lab, b, b + "-label")
+    for ea, eb in ((".graph", ".graph"), (".offsets", ".offsets")):
+        assert open(a + ea, "rb").read() == open(b + eb, "rb").read(), ea
+    for ext in (".labels", ".labeloffsets"):
+        assert open(a + "-label" + ext, "rb").read() == \
+            open(b + "-label" + ext, "rb").read(), ext
+    loaded = BitStreamArcLabelledGraph.load(b + "-label")
+    for x, succ, labs in loaded.iter_labelled():
+        np.testing.assert_array_equal(succ, g.successors(x))
+        for t, l in zip(succ.tolist(), labs):
+            assert l.value == (x * 3 + t) % 500
+
+
+def test_labelobl_cache(tmp_path):
+    """.labelobl Elias-Fano cache round-trips and is preferred when
+    fresh (the reference's mtime discipline on offset caches)."""
+    import os
+
+    g = erdos_renyi(50, 0.1, seed=2)
+    lab = make_labelled(g, lambda v: GammaCodedIntLabel("T", v),
+                        lambda x, t: x + t)
+    base = str(tmp_path / "g")
+    BVGraph.store(g, base)
+    BitStreamArcLabelledGraph.store(lab, base + "-label", "g")
+    first = BitStreamArcLabelledGraph.load(base + "-label")
+    first.write_label_obl(base + "-label")
+    assert os.path.exists(base + "-label.labelobl")
+    again = BitStreamArcLabelledGraph.load(base + "-label")
+    np.testing.assert_array_equal(first.label_offsets, again.label_offsets)
+    for x, succ, labs in again.iter_labelled():
+        for t, l in zip(succ.tolist(), labs):
+            assert l.value == x + t

@@ -123,6 +123,17 @@ def _hb_round_sparse(seg, tgt, must, regs, num_must):
     return regs, changed
 
 
+@functools.partial(jax.jit, static_argnames=("num_seg",))
+def _hb_merge(gathered, seg, old, num_seg):
+    """Device merge of pre-gathered successor registers: one segment_max
+    plus change detection (the broadword max-merge of
+    HyperBall.IterationThread:654-900 as a batched array op)."""
+    merged = jax.ops.segment_max(gathered, seg, num_segments=num_seg + 1,
+                                 indices_are_sorted=True)[:-1]
+    new = jnp.maximum(old, merged.astype(old.dtype))
+    return new, jnp.any(new != old, axis=1)
+
+
 def _pow2(x: int, floor: int = 8) -> int:
     return max(floor, 1 << int(np.ceil(np.log2(max(x, 1)))))
 
@@ -145,14 +156,19 @@ class HyperBall:
     def __init__(self, g: CSRGraph, log2m: int = 6, seed: int = 0,
                  gt: Optional[CSRGraph] = None,
                  do_sum_of_distances: bool = False,
-                 do_sum_of_inverse_distances: bool = False):
+                 do_sum_of_inverse_distances: bool = False,
+                 external_chunk: int = 0,
+                 regs_path: Optional[str] = None):
+        """``external_chunk`` > 0 enables the **external** update mode
+        (HyperBall.java:268-273, :1104-1130 re-designed): registers stay on
+        the host — in a disk-backed memmap when ``regs_path`` is given —
+        and each round streams <= external_chunk arcs' worth of gathered
+        successor registers through the device merge, so device memory is
+        bounded by the chunk, not by n * 2^log2m (the 10^11-node regime)."""
         self.g = g
         self.log2m = log2m
         self.seed = seed
         n = g.num_nodes
-        src, tgt = g.arcs()
-        self._src = jnp.asarray(src, dtype=jnp.int32)
-        self._tgt = jnp.asarray(tgt, dtype=jnp.int32)
         self._off = np.asarray(g.to_csr().offsets, dtype=np.int64)
         self._succ = np.asarray(g.to_csr().succ, dtype=np.int64)
         if gt is not None:
@@ -161,8 +177,24 @@ class HyperBall:
             self._gt_succ = np.asarray(gtc.succ, dtype=np.int64)
         else:
             self._gt_off = self._gt_succ = None
-        self.regs = jnp.asarray(hyperloglog_init(n, log2m, seed))
-        self._counts = estimate_counts(np.asarray(self.regs))
+        self.external_chunk = int(external_chunk)
+        init = hyperloglog_init(n, log2m, seed)
+        if self.external_chunk:
+            self._src = self._tgt = None
+            if regs_path is not None:
+                mm = np.lib.format.open_memmap(
+                    regs_path, mode="w+", dtype=np.uint8, shape=init.shape)
+                mm[:] = init
+                mm.flush()
+                self.regs = mm
+            else:
+                self.regs = init
+        else:
+            src, tgt = g.arcs()
+            self._src = jnp.asarray(src, dtype=jnp.int32)
+            self._tgt = jnp.asarray(tgt, dtype=jnp.int32)
+            self.regs = jnp.asarray(init)
+        self._counts = estimate_counts(init)
         self.neighbourhood_function: List[float] = [float(n)]
         self.modified = n
         self._mod_mask: Optional[np.ndarray] = None  # None => dense next
@@ -194,7 +226,10 @@ class HyperBall:
     def load_state(self, path: str) -> None:
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         assert int(z["log2m"]) == self.log2m and int(z["seed"]) == self.seed
-        self.regs = jnp.asarray(z["regs"])
+        if self.external_chunk:
+            self.regs[:] = z["regs"]
+        else:
+            self.regs = jnp.asarray(z["regs"])
         self._counts = z["counts"]
         self.neighbourhood_function = [float(v) for v in z["nf"]]
         self.iteration = int(z["iteration"])
@@ -217,9 +252,87 @@ class HyperBall:
         idx = np.repeat(self._gt_off[mod_nodes], cnt) + pos
         return np.unique(self._gt_succ[idx])
 
+    def _iterate_external(self) -> int:
+        """External-mode round: host-resident registers, device merges over
+        <= external_chunk-arc batches of the active node set (dense, or the
+        systolic/local must-check set when the transpose is available)."""
+        n = self.g.num_nodes
+        t = self.iteration + 1
+        sparse = (self._gt_off is not None and self._mod_mask is not None
+                  and self.modified < n // 2)
+        if sparse:
+            must = self._must_check()
+            mode = ("local" if self.modified * self.g.num_arcs * 10 < n * n
+                    else "systolic") + "-external"
+        else:
+            must = np.arange(n, dtype=np.int64)
+            mode = "dense-external"
+        regs = self.regs
+        R = regs.shape[1]
+        cnt = self._off[must + 1] - self._off[must]
+        ccum = np.concatenate([[0], np.cumsum(cnt)])
+        tot = int(ccum[-1])
+        changed_list = []
+        updates = []
+        touched = 0
+        lo = 0
+        while lo < len(must):
+            hi = int(np.searchsorted(ccum, ccum[lo] + self.external_chunk,
+                                     "right")) - 1
+            hi = min(max(hi, lo + 1), len(must))
+            b = must[lo:hi]
+            cb = cnt[lo:hi]
+            tb = int(cb.sum())
+            aidx = (np.repeat(self._off[b], cb)
+                    + np.arange(tb, dtype=np.int64)
+                    - np.repeat(ccum[lo:hi] - ccum[lo], cb))
+            P, E = _pow2(len(b)), _pow2(tb)
+            seg_p = np.full(E, P, dtype=np.int32)
+            seg_p[:tb] = np.repeat(np.arange(len(b), dtype=np.int32), cb)
+            gathered = np.zeros((E, R), dtype=np.uint8)
+            gathered[:tb] = regs[self._succ[aidx]]   # the host "spill" read
+            old = np.zeros((P, R), dtype=np.uint8)
+            old[:len(b)] = regs[b]
+            new, changed = _hb_merge(jnp.asarray(gathered),
+                                     jnp.asarray(seg_p),
+                                     jnp.asarray(old), P)
+            ch = np.asarray(changed)[:len(b)]
+            if ch.any():
+                # buffered update list (the analogue of the reference's
+                # spilled updates, HyperBall.java:1104-1130): applied only
+                # after the full round so every batch reads the previous
+                # round's registers (synchronous, register-exact)
+                updates.append((b[ch], np.asarray(new)[:len(b)][ch]))
+                changed_list.append(b[ch])
+            touched += tb
+            lo = hi
+        for rows, vals in updates:
+            regs[rows] = vals
+        changed_nodes = (np.concatenate(changed_list) if changed_list
+                         else np.zeros(0, dtype=np.int64))
+        self.arcs_touched.append(touched)
+        self.mode_history.append(mode)
+        mask = np.zeros(n, dtype=bool)
+        mask[changed_nodes] = True
+        self._mod_mask = mask
+        self.modified = int(len(changed_nodes))
+        self.iteration = t
+        if len(changed_nodes):
+            new_counts = estimate_counts(regs[changed_nodes])
+            delta = np.maximum(new_counts - self._counts[changed_nodes], 0.0)
+            if self.sum_of_distances is not None:
+                self.sum_of_distances[changed_nodes] += t * delta
+            if self.sum_of_inverse_distances is not None:
+                self.sum_of_inverse_distances[changed_nodes] += delta / t
+            self._counts[changed_nodes] = new_counts
+        self.neighbourhood_function.append(float(self._counts.sum()))
+        return self.modified
+
     def iterate(self) -> int:
         """One iteration; returns the number of modified counters
         (HyperBall.iterate :1000)."""
+        if self.external_chunk:
+            return self._iterate_external()
         n = self.g.num_nodes
         sparse = (self._gt_off is not None and self._mod_mask is not None
                   and self.modified < n // 2)

@@ -841,6 +841,70 @@ class BVGraph(ImmutableGraph):
         javaprops.dump(props, basename + PROPERTIES_EXTENSION_FULL, comment)
         return props
 
+    @classmethod
+    def store_labelled(cls, labelled, basename: str,
+                       label_basename: Optional[str] = None,
+                       settings: Optional[BVGraphSettings] = None,
+                       comment: str = "BVGraph properties"):
+        """Fused single-pass labelled store (BVGraph.storeLabelled,
+        BVGraph.java:1735-1853, label writes interleaved with the node
+        encode at :2272-2277): ONE scan of the labelled source writes the
+        compressed graph stream, its offsets, the ``.labels`` stream and
+        ``.labeloffsets`` simultaneously — so sequential-only (loadOnce)
+        sources compress without a second pass.
+
+        Returns (graph_properties, label_properties)."""
+        import os as _os
+
+        from ..labelling.graph import (LABEL_OFFSETS_EXTENSION,
+                                       LABELS_EXTENSION,
+                                       LABELSPEC_PROPERTY_KEY,
+                                       UNDERLYINGGRAPH_PROPERTY_KEY)
+
+        s = settings or BVGraphSettings()
+        if label_basename is None:
+            label_basename = basename + "-labelled"
+        enc = _Encoder(s)
+        graph_w = BitWriter()
+        offsets_w = BitWriter()
+        lab_w = BitWriter()
+        laboffs_w = BitWriter()
+        laboffs_w.write_gamma(0)
+        bit_offset = 0
+        lab_last = 0
+        n = 0
+        for x, succ, labs in labelled.iter_labelled():
+            n = x + 1
+            s.write_offset(offsets_w, graph_w.written_bits - bit_offset)
+            bit_offset = graph_w.written_bits
+            enc.encode_node(graph_w, x, np.asarray(succ, dtype=np.int64))
+            for lab in labs:
+                lab.to_bitstream(lab_w, x)
+            laboffs_w.write_gamma(lab_w.written_bits - lab_last)
+            lab_last = lab_w.written_bits
+        s.write_offset(offsets_w, graph_w.written_bits - bit_offset)
+
+        with open(basename + GRAPH_EXTENSION, "wb") as f:
+            f.write(graph_w.to_bytes())
+        with open(basename + OFFSETS_EXTENSION, "wb") as f:
+            f.write(offsets_w.to_bytes())
+        with open(label_basename + LABELS_EXTENSION, "wb") as f:
+            f.write(lab_w.to_bytes())
+        with open(label_basename + LABEL_OFFSETS_EXTENSION, "wb") as f:
+            f.write(laboffs_w.to_bytes())
+
+        props = enc.build_properties(n, graph_w.written_bits)
+        javaprops.dump(props, basename + PROPERTIES_EXTENSION_FULL, comment)
+        lab_props = {
+            "graphclass": ("it.unimi.dsi.big.webgraph.labelling."
+                           "BitStreamArcLabelledImmutableGraph"),
+            UNDERLYINGGRAPH_PROPERTY_KEY: _os.path.basename(basename),
+            LABELSPEC_PROPERTY_KEY: labelled.prototype.to_spec(),
+        }
+        javaprops.dump(lab_props, label_basename + PROPERTIES_EXTENSION_FULL,
+                       "BitStreamArcLabelledImmutableGraph properties")
+        return props, lab_props
+
     def write_outdegrees(self, path: str) -> None:
         """Dump the gamma-coded outdegree stream (BVGraph.main -d)."""
         w = BitWriter()

@@ -26,8 +26,26 @@ __all__ = ["ArcLabelledGraph", "BitStreamArcLabelledGraph",
 
 LABELS_EXTENSION = ".labels"
 LABEL_OFFSETS_EXTENSION = ".labeloffsets"
+LABEL_OBL_EXTENSION = ".labelobl"
 UNDERLYINGGRAPH_PROPERTY_KEY = "underlyinggraph"
 LABELSPEC_PROPERTY_KEY = "labelspec"
+
+
+def _decode_label_offsets(path: str, n: int) -> np.ndarray:
+    """Gamma-gap label offsets (leading zero, n+1 entries,
+    BitStreamArcLabelledImmutableGraph.java:66-120), native when built."""
+    data = np.fromfile(path, dtype=np.uint8)
+    from .. import native
+    if native.available():
+        from ..codecs.bvgraph import CompressionFlags as C
+        return native.decode_offset_stream(data, n, C.GAMMA)
+    r = BitReader(data)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    acc = 0
+    for i in range(n + 1):
+        acc += r.read_gamma()
+        offsets[i] = acc
+    return offsets
 
 
 class ArcLabelledGraph(ImmutableGraph):
@@ -148,15 +166,27 @@ class BitStreamArcLabelledGraph(ImmutableGraph):
         prototype = label_from_spec(props[LABELSPEC_PROPERTY_KEY])
         data = np.fromfile(basename + LABELS_EXTENSION, dtype=np.uint8)
         n = underlying.num_nodes
-        # gamma-gap offsets, leading zero, n+1 entries
-        r = BitReader(np.fromfile(basename + LABEL_OFFSETS_EXTENSION,
-                                  dtype=np.uint8))
-        offsets = np.empty(n + 1, dtype=np.int64)
-        acc = 0
-        for i in range(n + 1):
-            acc += r.read_gamma()
-            offsets[i] = acc
+        # .labelobl Elias-Fano cache when fresh (the reference's mtime
+        # discipline, BVGraph.java:1545-1555 applied to .labelobl)
+        obl = basename + LABEL_OBL_EXTENSION
+        offs_path = basename + LABEL_OFFSETS_EXTENSION
+        offsets = None
+        if os.path.exists(obl) and (not os.path.exists(offs_path)
+                                    or os.path.getmtime(obl)
+                                    >= os.path.getmtime(offs_path)):
+            from ..ops.ef_index import EliasFanoMonotoneList
+            ef = EliasFanoMonotoneList.load(obl)
+            if len(ef) == n + 1:
+                offsets = ef.to_array()
+        if offsets is None:
+            offsets = _decode_label_offsets(offs_path, n)
         return cls(underlying, prototype, data, offsets, props)
+
+    def write_label_obl(self, basename: str) -> None:
+        """Write the ``.labelobl`` Elias-Fano label-offsets cache."""
+        from ..ops.ef_index import build_ef
+        build_ef(np.asarray(self.label_offsets, dtype=np.int64)).dump(
+            basename + LABEL_OBL_EXTENSION)
 
     @classmethod
     def store(cls, labelled: ArcLabelledGraph, basename: str,

@@ -89,6 +89,12 @@ class KernelSpec:
     # independent of body size, so executing several steps per iteration
     # amortizes it
     unroll: int = 1
+    # arcs emitted per step during interval/copy runs (1, 2 or 4): interval
+    # values are closed-form (iv..iv+k) and the copy-head group sweep
+    # already yields all 8 group rows, so run emission is batched; residual
+    # gaps stay one code read per step.  burst > 1 doubles the stage-flush
+    # cadence (8 rows can land every 2 steps)
+    burst: int = 1
 
     def supported(self) -> bool:
         ks = {self.outdegree_coding, self.reference_coding,
@@ -176,33 +182,33 @@ def _make_kernel(spec: KernelSpec):
             return _u32(jnp.sum(jnp.where(m, col_ref[:], 0), axis=0))
 
         def out_read(row, en, fw, stw, wcur):
-            """Read output row per lane: flushed rows (< fw) via masked sums
-            over the grouped buffer, unflushed rows from the stage banks.
+            """Read output row per lane (and its whole 8-row group).
 
-            One group-mask compare shared across the 8 byte lanes (the j
-            select is per-lane register work, not a VMEM sweep)."""
+            Flushed rows (< fw) come from the grouped buffer via one shared
+            group-mask sweep; unflushed rows read through the stage banks
+            (bank = group parity).  Returns (value, [g0..g7]): the full
+            group is a free by-product of the sweep and feeds copy-run
+            burst emission."""
             gsel = row >> 3
             jsel = row & 7
-            flushed = en & (row < fw)
-            m_g = rows_G == jnp.where(flushed, gsel, -1)[None]
+            m_g = rows_G == jnp.where(en, gsel, -1)[None]
+            bsel = gsel & 1
+            gv = []
             v = jnp.zeros((8, 128), jnp.int32)
             for j in range(8):
-                vj = jnp.sum(jnp.where(m_g, out_ref[:, j], 0), axis=0)
+                vb = jnp.sum(jnp.where(m_g, out_ref[:, j], 0), axis=0)
+                vs = jnp.where(bsel == 0, stw[j], stw[8 + j])
+                vj = jnp.where(en & (gsel * 8 + j < fw), vb, vs)
+                gv.append(vj)
                 v = jnp.where(jsel == j, vj, v)
-            # stage read-through: rows written since the last flush sweep
-            vs = jnp.zeros((8, 128), jnp.int32)
-            bsel = gsel & 1
-            for b in range(2):
-                for j in range(8):
-                    vs = jnp.where((bsel == b) & (jsel == j), stw[b * 8 + j],
-                                   vs)
-            return jnp.where(flushed, v, vs)
+            return v, gv
 
         def out_flush(stw, wcur, g0):
             """Flush both stage banks' groups into the grouped buffer.
             Rows >= wcur get junk from older groups; they are rewritten by a
             later flush before ever being read.  Groups < g0 hold the
-            pre-injected halo lists (8-aligned) and are never touched."""
+            pre-injected halo lists (8-aligned) and are never touched.
+            (Tail-only path: the steady-state flush is out_flush1.)"""
             gc = wcur >> 3
             for b in range(2):
                 gb = jnp.where((gc & 1) == b, gc, gc - 1)
@@ -211,6 +217,20 @@ def _make_kernel(spec: KernelSpec):
                 for j in range(8):
                     out_ref[:, j] = jnp.where(m, stw[b * 8 + j][None],
                                               out_ref[:, j])
+
+        def out_flush1(stw, wcur, g0):
+            """Steady-state flush: write the single most recently COMPLETED
+            group (the flush cadence bounds advancement to <= 8 rows, so at
+            most one group completes per interval; the partial group stays
+            in the stage banks and the watermark stays group-aligned).
+            Half the read-modify-write cost of the two-group tail flush."""
+            gb = (wcur >> 3) - 1
+            gb = jnp.where(gb >= g0, gb, -1)
+            m = rows_G == gb[None]
+            bsel = gb & 1
+            for j in range(8):
+                v = jnp.where(bsel == 0, stw[j], stw[8 + j])
+                out_ref[:, j] = jnp.where(m, v[None], out_ref[:, j])
 
         def buf_pair_read(buf, rows_iota, r0, r1, en):
             """Read buf[r0], buf[r1] per lane in one sweep."""
@@ -352,6 +372,8 @@ def _make_kernel(spec: KernelSpec):
             iv=zi, ilen_rem=zi, i_next=zi,
             r_rem=zi, r_val=zi,
             **{f"sw{k}": zi for k in range(16)},
+            **({f"gv{j}": zi for j in range(8)}
+               if spec.burst > 1 and W > 0 else {}),
         )
         keys = tuple(sorted(carry0.keys()))
 
@@ -392,6 +414,42 @@ def _make_kernel(spec: KernelSpec):
             emit_en = win_c | win_i | win_r
             emit_val = jnp.where(win_c, cval, jnp.where(win_i, ival, rv))
             err = err | jnp.where(m_emit & ~emit_en, E_COUNT, 0)
+
+            # -- burst counts: how many consecutive winner-stream values can
+            # be emitted this step (the three streams are pairwise disjoint
+            # and sorted, BVGraph.java:1062-1090, so a run stays the winner
+            # exactly while its next value beats both other heads)
+            EB = spec.burst
+            vals_t = [emit_val]
+            if EB > 1:
+                lim_i = jnp.minimum(cval, rv)   # interval burst bound
+                cnt_i = jnp.where(
+                    win_i,
+                    jnp.clip(jnp.minimum(lim_i - g["iv"], g["ilen_rem"]),
+                             1, EB), 0)
+                cnt_c = jnp.where(win_c, 1, 0)
+                if W > 0:
+                    lim_c = jnp.minimum(ival, rv)
+                    row0 = g["ref_row"] + g["c_idx"]
+                    jsel0 = row0 & 7
+                    gvp = [g[f"gv{j}"] for j in range(8)]
+                    okc = win_c
+                    for t in range(1, EB):
+                        cand = jnp.zeros((8, 128), jnp.int32)
+                        for j in range(8):
+                            cand = jnp.where(jsel0 + t == j, gvp[j], cand)
+                        okc = (okc & (jsel0 + t < 8) & (t < g["krem"])
+                               & (t < g["c_rem"]) & (cand < lim_c))
+                        cnt_c = cnt_c + jnp.where(okc, 1, 0)
+                        vals_t.append(jnp.where(okc, cand, g["iv"] + t))
+                else:
+                    for t in range(1, EB):
+                        vals_t.append(g["iv"] + t)
+                cnt = cnt_i + cnt_c + jnp.where(win_r, 1, 0)
+            else:
+                cnt_i = jnp.where(win_i, 1, 0)
+                cnt_c = jnp.where(win_c, 1, 0)
+                cnt = jnp.where(emit_en, 1, 0)
 
             # -- shared code read
             kind = zi
@@ -555,8 +613,8 @@ def _make_kernel(spec: KernelSpec):
             r_val = jnp.where(read_res, r_val + vi + 1, r_val)
 
             # interval advance
-            ilen_rem = jnp.where(win_i, ilen_rem - 1, ilen_rem)
-            iv = jnp.where(win_i, iv + 1, iv)
+            ilen_rem = ilen_rem - cnt_i
+            iv = iv + cnt_i
             itrans = win_i & (ilen_rem == 0) & (i_next < icnt)
             ilen_rem = jnp.where(init_emit, 0, ilen_rem)
             i_next = jnp.where(init_emit, 0, i_next)
@@ -574,9 +632,9 @@ def _make_kernel(spec: KernelSpec):
             i_next = jnp.where(iread, i_sel + 1, i_next)
 
             # copy advance
-            c_rem = jnp.where(win_c, c_rem - 1, c_rem)
-            c_idx = jnp.where(win_c, c_idx + 1, c_idx)
-            krem = jnp.where(win_c, krem - 1, krem)
+            c_rem = c_rem - cnt_c
+            c_idx = c_idx + cnt_c
+            krem = krem - cnt_c
             ctrans = win_c & (krem == 0) & (c_rem > 0)
             c_rem = jnp.where(init_emit, 0, c_rem)
             # emit-init copy state
@@ -601,24 +659,34 @@ def _make_kernel(spec: KernelSpec):
             e_rem = jnp.where(init_emit, d, g["e_rem"])
 
             # -- output write: stage into the (bank, slot) register pair;
-            # groups flush to the buffer every 8 steps (out_flush)
+            # groups flush to the buffer every 8 (burst: 2) steps
             wcur = g["wcur"]
             stw = [g[f"sw{k}"] for k in range(16)]
-            slot_j = wcur & 7
-            bank = (wcur >> 3) & 1
-            for b in range(2):
-                for j in range(8):
-                    sel = emit_en & (bank == b) & (slot_j == j)
-                    stw[b * 8 + j] = jnp.where(sel, emit_val, stw[b * 8 + j])
-            err = err | jnp.where(emit_en & (wcur >= V), E_WCUR, 0)
-            wcur = jnp.where(emit_en, wcur + 1, wcur)
-            e_rem = jnp.where(emit_en, e_rem - 1, e_rem)
+            for t in range(len(vals_t)):
+                wt = wcur + t
+                m_t = t < cnt
+                slot_j = wt & 7
+                bank = (wt >> 3) & 1
+                for b in range(2):
+                    for j in range(8):
+                        sel = m_t & (bank == b) & (slot_j == j)
+                        stw[b * 8 + j] = jnp.where(sel, vals_t[t],
+                                                   stw[b * 8 + j])
+            err = err | jnp.where(emit_en & (wcur + cnt > V), E_WCUR, 0)
+            wcur = wcur + cnt
+            e_rem = e_rem - cnt
 
             if W > 0:
-                # copy head (re)load from the lane's own output column
+                # copy head (re)load from the lane's own output column (the
+                # group values ride along for the next step's copy burst)
                 creload = (win_c & (c_rem > 0)) | (cinit & (c_rem > 0))
-                hv = out_read(ref_row + c_idx, creload, g["fw"], stw, wcur)
+                hv, gvn = out_read(ref_row + c_idx, creload, g["fw"], stw,
+                                   wcur)
                 c_val = jnp.where(creload, hv, c_val)
+                if EB > 1:
+                    gvo = [g[f"gv{j}"] for j in range(8)]
+                    gvu = {f"gv{j}": jnp.where(creload, gvn[j], gvo[j])
+                           for j in range(8)}
 
             # -- node completion
             done_emit = m_emit & emit_en & (e_rem == 0)
@@ -641,14 +709,18 @@ def _make_kernel(spec: KernelSpec):
             # any error: freeze the lane
             nst = jnp.where(err != 0, ST_DONE, nst)
 
-            # -- periodic stage flush (scalar-predicated: cost only 1/8 of
-            # steps); fw is the per-lane flushed-row watermark
-            flush_now = (g["step"] & 7) == 7
-            fw = jnp.where(flush_now, wcur, g["fw"])
+            # -- periodic stage flush (scalar-predicated); cadence bounds
+            # the rows landed between flushes to 8, so at most one group
+            # completes per interval and the single-group out_flush1 never
+            # gaps; fw is the per-lane GROUP-ALIGNED flushed-row watermark
+            # (the partial group reads through the stage banks)
+            fmask = (8 // EB) - 1   # <= 8 rows per flush interval
+            flush_now = (g["step"] & fmask) == fmask
+            fw = jnp.where(flush_now, (wcur >> 3) << 3, g["fw"])
 
             @pl.when(flush_now)
             def _():
-                out_flush(stw, wcur, wcur0 >> 3)
+                out_flush1(stw, wcur, wcur0 >> 3)
 
             g.update(step=g["step"] + 1, st=nst, node=node, x=x, err=err,
                      b0=b0, b1=b1, b2=b2, avail=avail, rp=rp,
@@ -659,7 +731,8 @@ def _make_kernel(spec: KernelSpec):
                      ref_len=ref_len, c_rem=c_rem, c_idx=c_idx, krem=krem,
                      bj=bj, c_val=c_val, iv=iv, ilen_rem=ilen_rem,
                      i_next=i_next, r_rem=r_rem, r_val=r_val,
-                     **{f"sw{k}": stw[k] for k in range(16)})
+                     **{f"sw{k}": stw[k] for k in range(16)},
+                     **(gvu if EB > 1 and W > 0 else {}))
             return pack(g)
 
         def body_unrolled(cc):
@@ -838,7 +911,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        target_arcs_per_lane: int = 128,
                        v_cap: int = 512, r_cap: int = 160,
                        bmax: int = 32, imax: int = 32,
-                       unroll: Optional[int] = None,
+                       unroll: Optional[int] = None, burst: int = 4,
                        node_base: int = 0, first_node: int = 0,
                        ) -> Optional[PreparedDecode]:
     """Build the lane-chunk plan.  Returns None if the config/scale is
@@ -963,7 +1036,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         block_count_coding=settings.block_count_coding,
         block_coding=settings.block_coding,
         residual_coding=settings.residual_coding,
-        R=R, V=V, T=T, BMAX=bmax, IMAX=imax,
+        R=R, V=V, T=T, BMAX=bmax, IMAX=imax, burst=burst,
         max_steps=int(3 * V + 10 * int((ends - starts)[active].max()
                                        if active.any() else 1) + 64),
         unroll=(unroll if unroll is not None
