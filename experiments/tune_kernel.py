@@ -41,31 +41,36 @@ def run(cfg, data, offsets, n, m, settings, oracle):
     plan_s = time.time() - t0
     if prep is None:
         return dict(cfg=cfg, error="no plan")
-    o, dg = K.decode_chunked(prep)
-    jax.block_until_ready((o, dg))
+    o, dg, hv = K.decode_full(prep)
+    jax.block_until_ready((o, dg) if hv is None else (o, dg, hv))
     dgn = np.asarray(dg).reshape(prep.spec.T, K.DIAG_ROWS, 1024)
     steps = dgn[:, K.DIAG_STEPS, 0]          # per-tile iteration count
     errs = K.check_diag(prep, np.asarray(dg))
-    bad = prep.skipped | (errs != 0)
+    nc = prep.n_chunk_lanes
+    bad = prep.skipped | (errs[:nc] != 0)
+    fb = K.hub_fallback_nodes(prep, errs)
     bad_arcs = int((prep.cum_arcs[prep.chunk_starts[1:]]
                     - prep.cum_arcs[prep.chunk_starts[:-1]])[bad].sum())
+    bad_arcs += int(np.diff(prep.cum_arcs)[fb].sum()) if len(fb) else 0
+    hub_arcs = (int(prep.hub.hb_off[-1]) if prep.hub is not None else 0)
     succ_fill = np.empty(m, dtype=np.int64)
 
     def host_fill():
         t = time.time()
-        if bad.any():
-            K.fill_lanes(prep, bad, succ_fill, data, settings)
+        if bad.any() or len(fb):
+            K.fill_lanes(prep, bad, succ_fill, data, settings,
+                         hub_nodes=fb)
         return time.time() - t
 
     out_bytes = prep.spec.T * prep.spec.V * 1024 * 4
     depth = max(1, min(5, int(8e9 // max(out_bytes, 1))))
-    del o, dg
+    del o, dg, hv
     pool = ThreadPoolExecutor(2)
     times, fill_s, dev_s = [], 0.0, []
     for _ in range(3):
         t0 = time.time()
         futs = [pool.submit(host_fill) for _ in range(depth)]
-        res = [K.decode_chunked(prep) for _ in range(depth)]
+        res = [K.decode_full(prep) for _ in range(depth)]
         jax.block_until_ready(res)
         t_dev = time.time() - t0
         fill_s = max(f.result() for f in futs)
@@ -83,6 +88,7 @@ def run(cfg, data, offsets, n, m, settings, oracle):
                 dev_s=round(sorted(dev_s)[1], 4),
                 decode_s=round(decode_s, 4),
                 fallback_frac=round(bad_arcs / m, 4),
+                hub_frac=round(hub_arcs / m, 4),
                 Medges_s=round(m / decode_s / 1e6, 1))
 
 

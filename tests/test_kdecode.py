@@ -126,3 +126,85 @@ def test_corrupt_stream_flags(tmp_path):
     _, diag = K.decode_chunked(prep)
     errs = K.check_diag(prep, diag)
     assert errs.any()
+
+
+def _hubby_graph(n=600, seed=0, hub_every=97, hub_deg=300):
+    """Graph with interval-rich hub nodes (deg >> lane envelope), hub
+    followers (copy-heavy), and a normal sparse background."""
+    rng = np.random.default_rng(seed)
+    lists = []
+    for x in range(n):
+        if x % hub_every == 0:
+            base = max(0, x - hub_deg // 2)
+            runs = np.arange(base, min(base + hub_deg, n - 1), dtype=np.int64)
+            extra = rng.choice(n - 1, size=20, replace=False)
+            lists.append(np.unique(np.concatenate([runs, extra])))
+        elif x % hub_every == 1 and x > 1:
+            prev = lists[-1]
+            lists.append(prev[:-1].copy())  # follower: copies the hub
+        else:
+            k = int(rng.integers(0, 6))
+            lists.append(np.sort(rng.choice(n, size=k, replace=False))
+                         .astype(np.int64))
+    from webgraph_tpu.core.graph import CSRGraph
+    return CSRGraph.from_lists(lists)
+
+
+@pytest.mark.parametrize("window,minint", [(7, 3), (0, 0), (2, 4)])
+def test_hub_device_decode(tmp_path, window, minint):
+    """Nodes beyond the lane envelope decode on device: preset residual
+    lanes + interval pre-injection + copy-gather assembly (no host fill)."""
+    g = _hubby_graph()
+    base = str(tmp_path / "hub")
+    BVGraph.store(g, base, backend="python", window_size=window,
+                  max_ref_count=3, min_interval_length=minint)
+    bv = BVGraph.load(base)
+    outd = np.asarray([len(bv.successors(x)) for x in range(bv.num_nodes)],
+                      dtype=np.int64)
+    prep = K.plan_kernel_decode(bv.offsets, outd, bv.settings,
+                                np.asarray(bv.data),
+                                target_arcs_per_lane=32, v_cap=64, r_cap=48)
+    assert prep is not None
+    assert prep.hub is not None and len(prep.hub.nodes) > 0
+    assert not prep.skipped.any(), "hub path should replace host fill"
+    out, diag, hub_vals = K.decode_full(prep)
+    errs = K.check_diag(prep, diag)
+    assert not errs.any(), f"error flags: {np.unique(errs[errs != 0])}"
+    assert not len(K.hub_fallback_nodes(prep, errs))
+    co, succ = K.chunked_to_csr(prep, out, hub_vals=hub_vals, errs=errs)
+    exp = g.to_csr()
+    np.testing.assert_array_equal(co, exp.offsets)
+    np.testing.assert_array_equal(succ, exp.succ)
+
+
+def test_hub_chain_depth(tmp_path):
+    """Hub -> hub reference chains assemble in depth rounds."""
+    lists = []
+    n = 400
+    big = np.arange(50, 260, dtype=np.int64)
+    for x in range(n):
+        if x == 100:
+            lists.append(big.copy())
+        elif x in (101, 102, 103):
+            lists.append(np.unique(np.concatenate(
+                [lists[-1][1:-1], [299 + x]])))  # chains 103->102->101->100
+        else:
+            lists.append(np.asarray([(x + 7) % n], dtype=np.int64))
+    from webgraph_tpu.core.graph import CSRGraph
+    g = CSRGraph.from_lists(lists)
+    base = str(tmp_path / "chain")
+    BVGraph.store(g, base, backend="python")
+    bv = BVGraph.load(base)
+    outd = np.diff(g.to_csr().offsets)
+    prep = K.plan_kernel_decode(bv.offsets, outd, bv.settings,
+                                np.asarray(bv.data),
+                                target_arcs_per_lane=16, v_cap=48, r_cap=48)
+    assert prep is not None and prep.hub is not None
+    assert int(prep.hub.depth.max()) >= 1
+    out, diag, hub_vals = K.decode_full(prep)
+    errs = K.check_diag(prep, diag)
+    assert not errs.any()
+    co, succ = K.chunked_to_csr(prep, out, hub_vals=hub_vals, errs=errs)
+    exp = g.to_csr()
+    np.testing.assert_array_equal(co, exp.offsets)
+    np.testing.assert_array_equal(succ, exp.succ)

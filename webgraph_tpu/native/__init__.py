@@ -387,3 +387,60 @@ def select_refs(costs: np.ndarray, outd: np.ndarray, window_size: int,
     if rc < 0:
         raise RuntimeError(f"select_refs failed: {rc}")
     return refs, rcs
+
+
+def hub_parse(data: np.ndarray, nodes: np.ndarray, start_bits: np.ndarray,
+              outd: np.ndarray, settings, arc_quantum: int,
+              bit_quantum: int):
+    """Hub-entry header parse + residual checkpoints (wg_bv_hub_parse) —
+    the plan-time index behind device-side hub decode.  Returns a dict of
+    per-node counts and flat (start,len)/(left,len)/(bit,val,cnt) arrays."""
+    lib = _load()
+    data = _padded(np.ascontiguousarray(data, dtype=np.uint8))
+    nodes = np.ascontiguousarray(nodes, dtype=np.int64)
+    start_bits = np.ascontiguousarray(start_bits, dtype=np.int64)
+    outd = np.ascontiguousarray(outd, dtype=np.int64)
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding,
+                          settings.offset_coding], dtype=np.int32)
+    k = len(nodes)
+    ref = np.zeros(k, dtype=np.int64)
+    kept_cnt = np.zeros(k, dtype=np.int64)
+    int_cnt = np.zeros(k, dtype=np.int64)
+    res_cnt = np.zeros(k, dtype=np.int64)
+    cp_cnt = np.zeros(k, dtype=np.int64)
+    kept_cap, int_cap, cp_cap = 4 * k + 64, 4 * k + 64, 8 * k + 64
+    while True:
+        kept = np.zeros(kept_cap, dtype=np.int64)
+        ints = np.zeros(int_cap, dtype=np.int64)
+        cps = np.zeros(cp_cap, dtype=np.int64)
+        rc = lib.wg_bv_hub_parse(
+            _ptr(data), ctypes.c_int64(len(data) - 16),
+            _ptr(nodes, ctypes.c_int64), ctypes.c_int64(k),
+            _ptr(start_bits, ctypes.c_int64), _ptr(outd, ctypes.c_int64),
+            ctypes.c_int64(arc_quantum), ctypes.c_int64(bit_quantum),
+            ctypes.c_int(settings.window_size),
+            ctypes.c_int(settings.min_interval_length),
+            ctypes.c_int(settings.zeta_k), _ptr(codings, ctypes.c_int),
+            _ptr(ref, ctypes.c_int64), _ptr(kept_cnt, ctypes.c_int64),
+            _ptr(int_cnt, ctypes.c_int64), _ptr(res_cnt, ctypes.c_int64),
+            _ptr(cp_cnt, ctypes.c_int64),
+            _ptr(kept, ctypes.c_int64), ctypes.c_int64(kept_cap),
+            _ptr(ints, ctypes.c_int64), ctypes.c_int64(int_cap),
+            _ptr(cps, ctypes.c_int64), ctypes.c_int64(cp_cap))
+        if rc == -3:
+            kept_cap *= 4
+            int_cap *= 4
+            cp_cap *= 4
+            continue
+        if rc < 0:
+            raise RuntimeError(f"hub_parse failed: {rc}")
+        break
+    return dict(ref=ref, kept_cnt=kept_cnt, int_cnt=int_cnt,
+                res_cnt=res_cnt, cp_cnt=cp_cnt,
+                kept=kept[:int(kept_cnt.sum()) * 2].reshape(-1, 2),
+                ints=ints[:int(int_cnt.sum()) * 2].reshape(-1, 2),
+                cps=cps[:int(cp_cnt.sum()) * 3].reshape(-1, 3))

@@ -175,6 +175,12 @@ def _make_kernel(spec: KernelSpec):
         for s in range(CYC):
             win_d[s] = meta_ref[4 + s]
             win_row[s] = meta_ref[4 + CYC + s]
+        # preset lanes (hub residual segments, wg_bv_hub_parse checkpoints):
+        # start directly in EMIT with a pure residual run — count from meta,
+        # head value from meta, stream positioned after the head's code
+        pre_cnt = meta_ref[4 + 2 * CYC]
+        pre_val = meta_ref[5 + 2 * CYC]
+        preset = pre_cnt > 0
 
         # ------------------------------------------------------ primitives
         def col_word(rp, en):
@@ -358,19 +364,20 @@ def _make_kernel(spec: KernelSpec):
         b0, b1, b2, avail = consume(b0, b1, b2, avail,
                                     jnp.where(live0, bit0, 0))
 
-        st0 = jnp.where(live0, ST_OUTD, ST_DONE)
+        st0 = jnp.where(live0, jnp.where(preset, ST_EMIT, ST_OUTD), ST_DONE)
+        d0 = jnp.where(preset, pre_cnt, 0)
 
         carry0 = dict(
             step=jnp.int32(0), st=st0, node=zi, x=base, err=zi,
             b0=b0, b1=b1, b2=b2, avail=avail, rp=rp,
-            wcur=wcur0, nrow=wcur0, fw=wcur0, d=zi, ref=zi, e_rem=zi,
+            wcur=wcur0, nrow=wcur0, fw=wcur0, d=d0, ref=zi, e_rem=d0,
             cop=zi,
             bc=zi, blk_i=zi, blk_tot=zi, blk_cop=zi, blk0=zi,
             icnt=zi, i_idx=zi, iprev=zi, ileft=zi, extra=zi,
             ref_row=zi, ref_len=zi,
             c_rem=zi, c_idx=zi, krem=zi, bj=zi, c_val=zi,
             iv=zi, ilen_rem=zi, i_next=zi,
-            r_rem=zi, r_val=zi,
+            r_rem=d0, r_val=jnp.where(preset, pre_val, 0),
             **{f"sw{k}": zi for k in range(16)},
             **({f"gv{j}": zi for j in range(8)}
                if spec.burst > 1 and W > 0 else {}),
@@ -802,6 +809,39 @@ def _run_tile(meta, col, init_out, spec: KernelSpec,
 
 
 @dataclasses.dataclass
+class HubPlan:
+    """Device-side hub decode plan (nodes whose lists exceed the lane VMEM
+    envelope).  Built from wg_bv_hub_parse: every hub node's residual run
+    splits into checkpointed segments decoded by PRESET kernel lanes; its
+    interval extents are static header data pre-scattered into the hub
+    image; its copied ranges become device gathers from the chunked store
+    (or from shallower hub nodes, in reference-chain-depth rounds).  The
+    merge positions are part of the plan index (derived, like the halo
+    lists, from the one-time plan decode)."""
+
+    nodes: np.ndarray        # int64[H] hub node ids (ascending)
+    hb_off: np.ndarray       # int64[H+1] bases into the hub value array
+    node_is_hub: np.ndarray  # bool[n]
+    hub_idx: np.ndarray      # int64[n] node -> hub ordinal (-1 otherwise)
+    seg_lane0: int           # first preset lane index
+    seg_node: np.ndarray     # int64[P] hub node id per preset lane
+    seg_cnt: np.ndarray      # int64[P]
+    hub_init: jnp.ndarray    # int32[M_hub] interval values pre-injected
+    src_res: jnp.ndarray     # int32[] flat tiled idx into the out store
+    dst_res: jnp.ndarray     # int32[] positions in the hub value array
+    cop_rounds: list         # [(src idx, dst idx, from_hub: bool), ...]
+    src_chunk: np.ndarray    # int64[H] copy-source chunk (-1 none/hub)
+    src_hub: np.ndarray      # int64[H] copy-source hub ordinal (-1 none)
+    depth: np.ndarray        # int64[H] reference-chain depth among hubs
+
+
+def _tiled_flat(lane, row, V):
+    """Flat index into the (T, V//8, 8, 8, 128) grouped store layout."""
+    return ((lane >> 10) * (V * 1024) + (row >> 3) * 8192
+            + (row & 7) * 1024 + (lane & 1023))
+
+
+@dataclasses.dataclass
 class PreparedDecode:
     """Device-ready decode plan: stream columns + per-lane metadata + halo
     lists pre-packed into the output-column image.
@@ -825,10 +865,17 @@ class PreparedDecode:
     offsets: np.ndarray       # int64[n+1] bit offsets (native fallback)
     node_base: int = 0        # global id of plan-local node 0 (big slices)
     arc_base: int = 0         # cum_arcs at the first chunked node
+    hub: Optional[HubPlan] = None
+    exp_arcs: Optional[np.ndarray] = None   # int64[lanes] expected wcur
+    exp_nodes: Optional[np.ndarray] = None  # int64[lanes] expected nodes
 
     @property
     def lanes(self) -> int:
         return self.spec.T * 1024
+
+    @property
+    def n_chunk_lanes(self) -> int:
+        return len(self.chunk_starts) - 1
 
 
 def _chunk_needs(starts, ends, offsets, cum, outd, refs, W, n):
@@ -903,6 +950,110 @@ def _split_chunk(s, e, offsets, cum, outd, refs, W, v_cap, r_cap):
     return subs
 
 
+def _parse_hubs(data, settings, hub_nodes, offsets, outd, arc_q, bit_q):
+    """Native hub-entry parse -> per-node header structures + residual
+    checkpoint segments (wg_bv_hub_parse)."""
+    from .. import native as _native
+
+    return _native.hub_parse(data, hub_nodes, offsets[hub_nodes], outd,
+                             settings, arc_q, bit_q)
+
+
+def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
+                       halo_arcs, n, V, seg_lane0, seg_node, seg_cnt,
+                       seg_of_node):
+    """Build the device assembly plan: merge positions for every hub arc
+    (copies / intervals / residual segments), flat gather sources, and
+    reference-chain-depth copy rounds."""
+    H = len(hub_nodes)
+    hb_off = np.zeros(H + 1, dtype=np.int64)
+    np.cumsum(outd[hub_nodes], out=hb_off[1:])
+    node_is_hub = np.zeros(n, dtype=bool)
+    node_is_hub[hub_nodes] = True
+    hub_idx = np.full(n, -1, dtype=np.int64)
+    hub_idx[hub_nodes] = np.arange(H)
+    starts = bounds[:-1]
+
+    init_vals = np.zeros(int(hb_off[-1]), dtype=np.int32)
+    dst_res_l, src_res_l = [], []
+    cop = {}          # round -> (src list, dst list)
+    src_chunk = np.full(H, -1, dtype=np.int64)
+    src_hub = np.full(H, -1, dtype=np.int64)
+    depth = np.zeros(H, dtype=np.int64)
+    kk = ii = 0
+    for i in range(H):
+        x = int(hub_nodes[i])
+        fl = hsu[hco[x]:hco[x + 1]]
+        taken = np.zeros(len(fl), dtype=bool)
+        r = int(h["ref"][i])
+        nk = int(h["kept_cnt"][i])
+        if r > 0 and nk:
+            y = x - r
+            ybase = hco[y]
+            if node_is_hub[y]:
+                d = depth[hub_idx[y]] + 1
+                src_hub[i] = hub_idx[y]
+            else:
+                d = 0
+                c = int(np.searchsorted(bounds, y, "right")) - 1
+                src_chunk[i] = c
+            depth[i] = d
+            sl, dl = cop.setdefault(int(d), ([], []))
+            for s0, ln in h["kept"][kk:kk + nk]:
+                cv = hsu[ybase + s0:ybase + s0 + ln]
+                p = np.searchsorted(fl, cv)
+                taken[p] = True
+                dl.append(hb_off[i] + p)
+                off = s0 + np.arange(ln, dtype=np.int64)
+                if node_is_hub[y]:
+                    sl.append(hb_off[hub_idx[y]] + off)
+                else:
+                    row = (halo_arcs[c] + (cum[y] - cum[starts[c]]) + off)
+                    sl.append(_tiled_flat(np.int64(c), row, V))
+            kk += nk
+        ni = int(h["int_cnt"][i])
+        for left, ln in h["ints"][ii:ii + ni]:
+            p0 = int(np.searchsorted(fl, left))
+            taken[p0:p0 + ln] = True
+            init_vals[hb_off[i] + p0:hb_off[i] + p0 + ln] = \
+                np.arange(left, left + ln, dtype=np.int64)
+        ii += ni
+        nres = int(h["res_cnt"][i])
+        if nres:
+            rp = np.flatnonzero(~taken)
+            assert len(rp) == nres, (x, len(rp), nres)
+            base = 0
+            for s in seg_of_node[i]:
+                cnt = int(seg_cnt[s])
+                dst_res_l.append(hb_off[i] + rp[base:base + cnt])
+                lane = np.int64(seg_lane0 + s)
+                src_res_l.append(_tiled_flat(
+                    lane, np.arange(cnt, dtype=np.int64), V))
+                base += cnt
+            assert base == nres
+
+    idt = np.int32 if (seg_lane0 + len(seg_node) + 1024) * V < (1 << 31) \
+        else np.int64
+
+    def _cat(parts):
+        return (np.concatenate(parts).astype(idt) if parts
+                else np.zeros(0, dtype=idt))
+
+    rounds = []
+    for d in sorted(cop):
+        sl, dl = cop[d]
+        rounds.append((int(d), jnp.asarray(_cat(sl)), jnp.asarray(_cat(dl))))
+    return HubPlan(
+        nodes=hub_nodes, hb_off=hb_off, node_is_hub=node_is_hub,
+        hub_idx=hub_idx, seg_lane0=seg_lane0, seg_node=seg_node,
+        seg_cnt=seg_cnt, hub_init=jnp.asarray(init_vals),
+        src_res=jnp.asarray(_cat(src_res_l)),
+        dst_res=jnp.asarray(_cat(dst_res_l)),
+        cop_rounds=rounds, src_chunk=src_chunk, src_hub=src_hub,
+        depth=depth,
+    )
+
+
 def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        settings, data: np.ndarray,
                        halo_csr: Optional[Tuple[np.ndarray, np.ndarray]]
@@ -913,6 +1064,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        bmax: int = 32, imax: int = 32,
                        unroll: Optional[int] = None, burst: int = 4,
                        node_base: int = 0, first_node: int = 0,
+                       hub_device: bool = True,
                        ) -> Optional[PreparedDecode]:
     """Build the lane-chunk plan.  Returns None if the config/scale is
     outside the kernel's envelope (caller falls back).
@@ -1027,6 +1179,53 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     V = (V + 7) & ~7
     R = int(min(r_cap, (nwords[active].max() + 2) if active.any() else 2))
 
+    # hub decomposition: single-node chunks outside the envelope decode on
+    # device anyway — residual checkpoint segments as PRESET lanes + an
+    # assembly pass (intervals/copies), instead of the host fill path
+    hub_h = None
+    seg_bits = seg_val = seg_cnt = seg_node = None
+    seg_of_node = None
+    hub_nodes = None
+    hub_handled = np.zeros_like(skipped)
+    if hub_device and node_base == 0 and skipped.any():
+        from .. import native as _native
+        single = skipped & (ends - starts == 1)
+        if single.any() and _native.available():
+            if hsu.size == 0 and m > 0:   # W == 0: no halo CSR was needed
+                hco, hsu = _native.bv_decode_all(data, n, m, settings)
+            hub_nodes = np.sort(starts[single])
+            arc_q = max(16, min(target_arcs_per_lane, v_cap))
+            bit_q = 32 * (r_cap - 2) - 256
+            try:
+                hub_h = _parse_hubs(data, settings, hub_nodes, offsets,
+                                    outd, arc_q, bit_q)
+            except Exception:
+                hub_h = None
+            if hub_h is not None:
+                cps = hub_h["cps"]
+                seg_bits = cps[:, 0]
+                seg_val = cps[:, 1]
+                seg_cnt = cps[:, 2]
+                seg_node = np.repeat(hub_nodes, hub_h["cp_cnt"])
+                cpc = np.concatenate([[0], np.cumsum(hub_h["cp_cnt"])])
+                seg_of_node = [range(int(cpc[i]), int(cpc[i + 1]))
+                               for i in range(len(hub_nodes))]
+                if len(seg_cnt):
+                    V = max(V, (int(seg_cnt.max()) + 7) & ~7)
+                hub_handled = single.copy()
+    if seg_node is not None and len(seg_node):
+        # per-segment word spans (next checkpoint / end of entry)
+        seg_end = np.concatenate([seg_bits[1:], [0]])
+        last_idx = np.cumsum(hub_h["cp_cnt"])[hub_h["cp_cnt"] > 0] - 1
+        seg_end[last_idx] = offsets[
+            hub_nodes[hub_h["cp_cnt"] > 0] + 1]
+        seg_w0 = seg_bits >> 5
+        seg_nw = np.maximum((seg_end + 31) // 32 - seg_w0, 0)
+        R = int(min(r_cap, max(R, int(seg_nw.max()) + 1)))
+    P = len(seg_node) if seg_node is not None else 0
+    L_tot = L + ((P + 1023) // 1024) * 1024 if P else L
+    T = L_tot // 1024
+
     spec = KernelSpec(
         window_size=W,
         min_interval_length=settings.min_interval_length,
@@ -1061,12 +1260,25 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     words = pack_words_u32(data)
     nw_act = np.where(active, nwords, 0).astype(np.int32)
     CYC = W + 1
-    NMETA = 4 + 2 * CYC
-    meta = np.zeros((L, NMETA), dtype=np.int32)
-    meta[:, 0] = np.where(active, ends - starts, 0)
-    meta[:, 1] = (start_bits - (w0 << 5)).astype(np.int32)
-    meta[:, 2] = (starts + node_base).astype(np.int32)  # global x
-    meta[:, 3] = np.where(active, halo_arcs, 0).astype(np.int32)
+    NMETA = 6 + 2 * CYC
+    meta = np.zeros((L_tot, NMETA), dtype=np.int32)
+    meta[:L, 0] = np.where(active, ends - starts, 0)
+    meta[:L, 1] = (start_bits - (w0 << 5)).astype(np.int32)
+    meta[:L, 2] = (starts + node_base).astype(np.int32)  # global x
+    meta[:L, 3] = np.where(active, halo_arcs, 0).astype(np.int32)
+    w0_all = np.zeros(L_tot, dtype=np.int64)
+    w0_all[:L] = w0
+    nw_all = np.zeros(L_tot, dtype=np.int32)
+    nw_all[:L] = nw_act
+    if P:
+        sl = slice(L, L + P)
+        w0_all[sl] = seg_w0
+        nw_all[sl] = seg_nw.astype(np.int32)
+        meta[sl, 0] = 1
+        meta[sl, 1] = (seg_bits - (seg_w0 << 5)).astype(np.int32)
+        meta[sl, 2] = seg_node.astype(np.int32)
+        meta[sl, 4 + 2 * CYC] = seg_cnt.astype(np.int32)
+        meta[sl, 5 + 2 * CYC] = seg_val.astype(np.int32)
     hdst = np.zeros(0, dtype=np.int64)
     hval = np.zeros(0, dtype=np.int32)
     if W > 0:
@@ -1109,15 +1321,32 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
              + (row_i & 7) * 1024 + (lane_i & 1023))
     init4 = _stage_init(jnp.asarray(hdst4), jnp.asarray(hval), T=T, V=V)
     meta4, col4 = _stage_device(
-        jnp.asarray(words.view(np.int32)), jnp.asarray(w0.astype(np.int32)),
-        jnp.asarray(nw_act), jnp.asarray(meta),
+        jnp.asarray(words.view(np.int32)),
+        jnp.asarray(w0_all.astype(np.int32)),
+        jnp.asarray(nw_all), jnp.asarray(meta),
         T=T, R=R, V=V, NMETA=NMETA)
+
+    # per-lane expectations (check_diag) + the hub assembly plan
+    exp_arcs = np.zeros(T * 1024, dtype=np.int64)
+    exp_nodes = np.zeros(T * 1024, dtype=np.int64)
+    live = active
+    exp_arcs[:L] = np.where(live, cum[ends] - cum[starts] + halo_arcs, 0)
+    exp_nodes[:L] = np.where(live, ends - starts, 0)
+    hub = None
+    if P:
+        exp_arcs[L:L + P] = seg_cnt
+        exp_nodes[L:L + P] = 1
+        hub = _plan_hub_assembly(
+            hub_h, hub_nodes, hco, hsu, outd, cum, bounds, halo_arcs,
+            n, V, L, seg_node, seg_cnt, seg_of_node)
+        skipped = skipped & ~hub_handled
 
     return PreparedDecode(
         spec=spec, meta=meta4, col=col4, init_out=init4, n=n, m=m,
         chunk_starts=bounds, halo_arcs=halo_arcs, cum_arcs=cum,
         outdegrees=outd, skipped=skipped, offsets=offsets,
-        node_base=node_base, arc_base=arc_base)
+        node_base=node_base, arc_base=arc_base, hub=hub,
+        exp_arcs=exp_arcs, exp_nodes=exp_nodes)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "V"))
@@ -1190,45 +1419,64 @@ def decode_chunked(prep: PreparedDecode, interpret: Optional[bool] = None,
 def chunked_to_csr(prep: PreparedDecode, out_cols,
                    data: Optional[np.ndarray] = None,
                    settings=None,
-                   errs: Optional[np.ndarray] = None
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+                   errs: Optional[np.ndarray] = None,
+                   hub_vals=None) -> Tuple[np.ndarray, np.ndarray]:
     """Assemble the flat CSR (host-side; used by tests and the API).
 
-    Skipped lanes (outside the VMEM envelope) and error-flagged lanes
-    (scratch overflow on extreme nodes) are filled by the native host range
-    decoder when ``data``/``settings`` are given."""
+    Hub nodes splice in from the device assembly (``hub_vals`` or computed
+    here); skipped lanes (outside the VMEM envelope) and error-flagged
+    lanes (scratch overflow on extreme nodes) are filled by the native
+    host range decoder when ``data``/``settings`` are given."""
     T, V = prep.spec.T, prep.spec.V
+    nc = prep.n_chunk_lanes
     cols = np.asarray(out_cols).reshape(T, V // 8, 8, 1024)
     cols = cols.transpose(0, 3, 1, 2).reshape(T * 1024 * V)
     bad = prep.skipped.copy()
     if errs is not None:
-        bad |= errs != 0
+        bad |= errs[:nc] != 0
     # vectorized ragged gather: arc k of chunk i lives at flat position
     # i*V + halo_i + (k - cum[start_i])
     cum = prep.cum_arcs
     starts, ends = prep.chunk_starts[:-1], prep.chunk_starts[1:]
     arcs = cum[ends] - cum[starts]
-    base = (np.arange(prep.lanes, dtype=np.int64) * V + prep.halo_arcs
+    base = (np.arange(nc, dtype=np.int64) * V + prep.halo_arcs
             - (cum[starts] - prep.arc_base))
     idx = np.repeat(base, arcs) + np.arange(prep.m, dtype=np.int64)
-    # skipped hub lanes can have halo+arcs > V: their flat indices spill past
-    # the lane column (or the array end, for lanes near the tail) — clip;
-    # fill_lanes rewrites every bad lane's range below anyway
-    if bad.any():
+    # skipped/hub lanes can have halo+arcs > V: their flat indices spill
+    # past the lane column (or the array end, for lanes near the tail) —
+    # clip; the splice/fill below rewrites every such range anyway
+    if bad.any() or prep.hub is not None:
         np.minimum(idx, cols.size - 1, out=idx)
     succ = cols[idx].astype(np.int64)
-    if bad.any():
+    hub = prep.hub
+    fb = np.zeros(0, dtype=np.int64)
+    if hub is not None:
+        hv = (np.asarray(hub_vals) if hub_vals is not None
+              else np.asarray(assemble_hubs(prep, out_cols)))
+        fb = (hub_fallback_nodes(prep, errs) if errs is not None
+              else np.zeros(0, dtype=np.int64))
+        ok = ~np.isin(hub.nodes, fb)
+        hn = hub.nodes[ok]
+        cnt = (hub.hb_off[1:] - hub.hb_off[:-1])[ok]
+        if cnt.sum():
+            within = (np.arange(int(cnt.sum()), dtype=np.int64)
+                      - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            dst = np.repeat(cum[hn] - prep.arc_base, cnt) + within
+            src = np.repeat(hub.hb_off[:-1][ok], cnt) + within
+            succ[dst] = hv[src]
+    if bad.any() or len(fb):
         if data is None or settings is None:
             raise ValueError("skipped/error lanes need data/settings for "
                              "the native fallback")
-        fill_lanes(prep, bad, succ, data, settings)
+        fill_lanes(prep, bad, succ, data, settings, hub_nodes=fb)
     first = int(prep.chunk_starts[0])
     return cum[first:] - prep.arc_base, succ
 
 
 def fill_lanes(prep: PreparedDecode, lanes_mask: np.ndarray,
                succ: np.ndarray, data: np.ndarray, settings,
-               offsets=None, threads: int = 0) -> None:
+               offsets=None, threads: int = 0,
+               hub_nodes: Optional[np.ndarray] = None) -> None:
     """Native host decode of the masked lanes (hub regions / overflow).
 
     Adjacent bad chunks merge into runs (contiguous node ranges share one
@@ -1246,18 +1494,29 @@ def fill_lanes(prep: PreparedDecode, lanes_mask: np.ndarray,
     offs = prep.offsets if offsets is None else offsets
     data = np.concatenate([np.ascontiguousarray(data, dtype=np.uint8),
                            np.zeros(16, dtype=np.uint8)])
+    nc = prep.n_chunk_lanes
+    lanes_mask = np.asarray(lanes_mask)[:nc]
     idx = np.flatnonzero(lanes_mask
                          & (prep.chunk_starts[:-1] != prep.chunk_starts[1:]))
-    if not len(idx):
+    if not len(idx) and (hub_nodes is None or not len(hub_nodes)):
         return
-    # merge adjacent bad chunks into runs
-    brk = np.flatnonzero(
-        (idx[1:] != idx[:-1] + 1)
-        | (prep.chunk_starts[idx[:-1] + 1] != prep.chunk_starts[idx[1:]]))
-    run_first = np.concatenate([[0], brk + 1])
-    run_last = np.concatenate([brk, [len(idx) - 1]])
-    s = prep.chunk_starts[idx[run_first]]
-    e = prep.chunk_starts[idx[run_last] + 1]
+    if len(idx):
+        # merge adjacent bad chunks into runs
+        brk = np.flatnonzero(
+            (idx[1:] != idx[:-1] + 1)
+            | (prep.chunk_starts[idx[:-1] + 1]
+               != prep.chunk_starts[idx[1:]]))
+        run_first = np.concatenate([[0], brk + 1])
+        run_last = np.concatenate([brk, [len(idx) - 1]])
+        s = prep.chunk_starts[idx[run_first]]
+        e = prep.chunk_starts[idx[run_last] + 1]
+    else:
+        s = np.zeros(0, dtype=np.int64)
+        e = np.zeros(0, dtype=np.int64)
+    if hub_nodes is not None and len(hub_nodes):
+        hn = np.asarray(hub_nodes, dtype=np.int64)
+        s = np.concatenate([s, hn])
+        e = np.concatenate([e, hn + 1])
     p = np.maximum(s - halo_n, 0)
     init = np.zeros((len(s), max(W, 1)), dtype=np.int64)
     if W > 0:
@@ -1275,7 +1534,8 @@ def fill_lanes(prep: PreparedDecode, lanes_mask: np.ndarray,
 
 
 def check_diag(prep: PreparedDecode, diag) -> np.ndarray:
-    """Per-lane error flags (int32[L]); nonzero anywhere means fallback.
+    """Per-lane error flags (int32[lanes]); nonzero anywhere means
+    fallback.
 
     Beyond the kernel's own flags, cross-checks each lane's emitted arc
     count and completed node count against the offsets-derived expectation —
@@ -1285,11 +1545,78 @@ def check_diag(prep: PreparedDecode, diag) -> np.ndarray:
     err = d[:, DIAG_ERR, :].reshape(-1).copy()
     wcur = d[:, DIAG_WCUR, :].reshape(-1)
     nodes = d[:, DIAG_NODES, :].reshape(-1)
-    cum = prep.cum_arcs
-    starts = prep.chunk_starts[:-1]
-    ends = prep.chunk_starts[1:]
-    live = (starts != ends) & ~prep.skipped
-    exp_arcs = np.where(live, cum[ends] - cum[starts] + prep.halo_arcs, 0)
-    exp_nodes = np.where(live, ends - starts, 0)
+    if prep.exp_arcs is not None:
+        exp_arcs, exp_nodes = prep.exp_arcs, prep.exp_nodes
+    else:
+        cum = prep.cum_arcs
+        starts = prep.chunk_starts[:-1]
+        ends = prep.chunk_starts[1:]
+        live = (starts != ends) & ~prep.skipped
+        exp_arcs = np.where(live, cum[ends] - cum[starts] + prep.halo_arcs,
+                            0)
+        exp_nodes = np.where(live, ends - starts, 0)
     err |= np.where((wcur != exp_arcs) | (nodes != exp_nodes), E_COUNT, 0)
     return err
+
+
+def hub_fallback_nodes(prep: PreparedDecode, errs: np.ndarray) -> np.ndarray:
+    """Hub nodes that cannot be device-assembled for this run: their own
+    preset lanes errored, their copy-source chunk errored, or (through the
+    reference chain) a source hub fell back.  Empty normally."""
+    hub = prep.hub
+    if hub is None:
+        return np.zeros(0, dtype=np.int64)
+    nc = prep.n_chunk_lanes
+    bad = np.zeros(len(hub.nodes), dtype=bool)
+    pre = errs[hub.seg_lane0:hub.seg_lane0 + len(hub.seg_node)] != 0
+    if pre.any():
+        bad[hub.hub_idx[hub.seg_node[pre]]] = True
+    bad_chunk = errs[:nc] != 0
+    sel = hub.src_chunk >= 0
+    hit = np.zeros_like(bad)
+    hit[sel] = bad_chunk[hub.src_chunk[sel]]
+    bad |= hit
+    for _ in range(int(hub.depth.max()) + 1 if len(hub.depth) else 0):
+        sel = hub.src_hub >= 0
+        prop = np.zeros_like(bad)
+        prop[sel] = bad[hub.src_hub[sel]]
+        if not (prop & ~bad).any():
+            break
+        bad |= prop
+    return hub.nodes[bad]
+
+
+@jax.jit
+def _assemble(flat, init, src_res, dst_res, src0, dst0, hub_rounds):
+    hv = init.at[dst_res].set(jnp.take(flat, src_res, mode="clip"),
+                              mode="drop")
+    hv = hv.at[dst0].set(jnp.take(flat, src0, mode="clip"), mode="drop")
+    for s, t in hub_rounds:
+        hv = hv.at[t].set(jnp.take(hv, s, mode="clip"), mode="drop")
+    return hv
+
+
+def assemble_hubs(prep: PreparedDecode, out_cols) -> Optional[jnp.ndarray]:
+    """Device assembly of hub lists from the kernel output: residual
+    segments (preset lanes) + pre-injected intervals + copy gathers in
+    reference-chain-depth rounds.  Returns int32[M_hub] or None."""
+    if prep.hub is None:
+        return None
+    flat = jnp.reshape(jnp.asarray(out_cols), (-1,))
+    z = jnp.zeros(0, dtype=prep.hub.src_res.dtype)
+    src0 = dst0 = z
+    hub_rounds = []
+    for d, s, t in prep.hub.cop_rounds:
+        if d == 0:
+            src0, dst0 = s, t
+        else:
+            hub_rounds.append((s, t))
+    return _assemble(flat, prep.hub.hub_init, prep.hub.src_res,
+                     prep.hub.dst_res, src0, dst0, tuple(hub_rounds))
+
+
+def decode_full(prep: PreparedDecode, interpret: Optional[bool] = None):
+    """Kernel decode + hub assembly: the complete timed device step.
+    Returns (out_cols, diag, hub_vals-or-None)."""
+    o, dg = decode_chunked(prep, interpret=interpret)
+    return o, dg, assemble_hubs(prep, o)
