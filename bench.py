@@ -79,19 +79,23 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None):
     _log("plan done", round(plan_s, 2))
 
     # warmup: compile + first run + error lanes for the fill set
-    o, dg = K.decode_chunked(prep, interpret=False)
-    jax.block_until_ready((o, dg))
+    o, dg, hv = K.decode_full(prep, interpret=False)
+    jax.block_until_ready((o, dg) if hv is None else (o, dg, hv))
     errs = K.check_diag(prep, np.asarray(dg))
-    bad = prep.skipped | (errs != 0)
-    _log("warm; bad lanes", int(bad.sum()))
-    del o, dg  # free the 4*T*V*1024-byte output before the timed windows
+    nc = prep.n_chunk_lanes
+    bad = prep.skipped | (errs[:nc] != 0)
+    fb = K.hub_fallback_nodes(prep, errs)
+    _log("warm; bad lanes", int(bad.sum()), "hub fallback", len(fb),
+         "hub arcs", int(prep.hub.hb_off[-1]) if prep.hub else 0)
+    del o, dg, hv  # free the big outputs before the timed windows
 
     succ_fill = np.empty(prep.m, dtype=np.int64)
 
     def host_fill():
         t = time.time()
-        if bad.any():
-            K.fill_lanes(prep, bad, succ_fill, data, bv.settings)
+        if bad.any() or len(fb):
+            K.fill_lanes(prep, bad, succ_fill, data, bv.settings,
+                         hub_nodes=fb)
         return time.time() - t
 
     # timed: several decodes per window, dispatches pipelined (device queue
@@ -108,8 +112,8 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None):
     for _ in range(3):
         t0 = time.time()
         futs = [pool.submit(host_fill) for _ in range(depth)]
-        res = [K.decode_chunked(prep, interpret=False) for _ in range(depth)]
-        o, d2 = res[-1]
+        res = [K.decode_full(prep, interpret=False) for _ in range(depth)]
+        o, d2, hv = res[-1]
         jax.block_until_ready(res)
         fill_s = max(f.result() for f in futs)
         times.append((time.time() - t0) / depth)
@@ -120,11 +124,14 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None):
     # correctness: full assembly must be bit-exact vs the oracle
     t0 = time.time()
     co, succ = K.chunked_to_csr(prep, np.asarray(o), data=data,
-                                settings=bv.settings, errs=errs)
+                                settings=bv.settings, errs=errs,
+                                hub_vals=hv)
     assemble_s = time.time() - t0
     ok = np.array_equal(succ, hsu) and np.array_equal(co, hco)
     bad_arcs = int((prep.cum_arcs[prep.chunk_starts[1:]]
                     - prep.cum_arcs[prep.chunk_starts[:-1]])[bad].sum())
+    if len(fb):
+        bad_arcs += int(np.diff(prep.cum_arcs)[fb].sum())
     extras = dict(plan_s=round(plan_s, 3), fill_s=round(fill_s, 4),
                   assemble_s=round(assemble_s, 3), bit_exact=bool(ok),
                   fallback_arc_frac=round(bad_arcs / max(bv.num_arcs, 1), 4),

@@ -317,7 +317,7 @@ STAT_WORDS = 10 + 64 + 64
 
 
 def bv_encode(csr_off: np.ndarray, succ: np.ndarray, settings,
-              threads: int = 1):
+              threads: int = 1, node_base: int = 0):
     """Parallel BVGraph encode of CSR arrays (wg_bv_encode).
 
     Returns (graph_bytes, graph_bits, offsets_bytes, offsets_bits, stats).
@@ -348,7 +348,8 @@ def bv_encode(csr_off: np.ndarray, succ: np.ndarray, settings,
         ctypes.c_int(settings.min_interval_length),
         ctypes.c_int(settings.zeta_k), _ptr(codings, ctypes.c_int),
         ctypes.byref(g_ptr), ctypes.byref(g_bits),
-        ctypes.byref(o_ptr), ctypes.byref(o_bits), _ptr(stats, ctypes.c_int64))
+        ctypes.byref(o_ptr), ctypes.byref(o_bits),
+        _ptr(stats, ctypes.c_int64), ctypes.c_int64(node_base))
     if rc < 0:
         raise RuntimeError(f"native encode failed: {rc}")
     try:

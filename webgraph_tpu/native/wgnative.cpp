@@ -863,7 +863,7 @@ int64_t wg_bv_encode(const int64_t* csr_off, const int64_t* succ, int64_t n,
                      int min_interval_length, int zeta_k, const int* codings,
                      uint8_t** graph_out, int64_t* graph_bits,
                      uint8_t** offsets_out, int64_t* offsets_bits,
-                     int64_t* stats) {
+                     int64_t* stats, int64_t node_base) {
     EncSettings es{window_size, max_ref_count, min_interval_length, zeta_k,
                    codings[0], codings[1], codings[2], codings[3], codings[4]};
     const int c_off = codings[5];
@@ -893,7 +893,10 @@ int64_t wg_bv_encode(const int64_t* csr_off, const int64_t* succ, int64_t n,
         BitWriter& gw = gws[(size_t)t];
         BitWriter& ow = ows[(size_t)t];
         for (int64_t x = bounds[(size_t)t]; x < bounds[(size_t)t + 1]; x++) {
-            int64_t bits = enc.encode_node(gw, x, succ + csr_off[x],
+            // node_base: global id of local node 0 (per-host encode shards
+            // mirror the reference's per-thread ranges with global ids)
+            int64_t bits = enc.encode_node(gw, node_base + x,
+                                           succ + csr_off[x],
                                            csr_off[x + 1] - csr_off[x]);
             // offsets gap = this node's entry length (gamma/delta coded)
             write_coded(ow, bits, c_off, zeta_k);

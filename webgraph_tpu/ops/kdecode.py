@@ -1127,11 +1127,12 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
             from .. import native as _native
             if not _native.available():
                 return None
-            if refs is None:
+            m_all = int(cum[n])   # the halo decode covers [0, n), not
+            if refs is None:       # just the chunked range [first_node, n)
                 hco, hsu, refs = _native.bv_decode_all_refs(
-                    data, n, m, settings)
+                    data, n, m_all, settings)
             else:
-                hco, hsu = _native.bv_decode_all(data, n, m, settings)
+                hco, hsu = _native.bv_decode_all(data, n, m_all, settings)
         else:
             hco, hsu = halo_csr
     else:
@@ -1192,7 +1193,8 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         single = skipped & (ends - starts == 1)
         if single.any() and _native.available():
             if hsu.size == 0 and m > 0:   # W == 0: no halo CSR was needed
-                hco, hsu = _native.bv_decode_all(data, n, m, settings)
+                hco, hsu = _native.bv_decode_all(data, n, int(cum[n]),
+                                                 settings)
             hub_nodes = np.sort(starts[single])
             arc_q = max(16, min(target_arcs_per_lane, v_cap))
             bit_q = 32 * (r_cap - 2) - 256
