@@ -974,81 +974,95 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     hub_idx[hub_nodes] = np.arange(H)
     starts = bounds[:-1]
 
-    init_vals = np.zeros(int(hb_off[-1]), dtype=np.int32)
-    dst_res_l, src_res_l = [], []
-    cop = {}          # round -> (src list, dst list)
+    M_hub = int(hb_off[-1])
+    init_vals = np.zeros(M_hub, dtype=np.int32)
+    taken = np.zeros(M_hub, dtype=bool)
     src_chunk = np.full(H, -1, dtype=np.int64)
     src_hub = np.full(H, -1, dtype=np.int64)
+
+    def _expand(cnts):
+        """within-offsets for flat runs of the given lengths."""
+        tot = int(cnts.sum())
+        return (np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(cnts) - cnts, cnts))
+
+    # composite-key view of all hub lists at once: key = ord * 2^32 + value
+    # (values < 2^31), globally sorted, so one searchsorted resolves merge
+    # positions for every hub node without a per-node loop — and positions
+    # come out directly in hub-flat coordinates
+    hl_idx = np.repeat(hco[hub_nodes], np.diff(hb_off)) + _expand(
+        np.diff(hb_off))
+    keys = (np.repeat(np.arange(H, dtype=np.int64), np.diff(hb_off))
+            << 32) | hsu[hl_idx]
+
+    # copy pairs (flat over kept ranges)
+    ref = h["ref"]
+    yv = hub_nodes - ref
+    has_cop = (ref > 0) & (h["kept_cnt"] > 0)
+    y_is_hub = np.zeros(H, dtype=bool)
+    y_is_hub[has_cop] = node_is_hub[yv[has_cop]]
+    src_hub[has_cop & y_is_hub] = hub_idx[yv[has_cop & y_is_hub]]
+    ynorm = has_cop & ~y_is_hub
+    src_chunk[ynorm] = np.searchsorted(bounds, yv[ynorm], "right") - 1
+    # depth by fixpoint over the (acyclic, y < x) hub reference DAG
     depth = np.zeros(H, dtype=np.int64)
-    kk = ii = 0
-    for i in range(H):
-        x = int(hub_nodes[i])
-        fl = hsu[hco[x]:hco[x + 1]]
-        taken = np.zeros(len(fl), dtype=bool)
-        r = int(h["ref"][i])
-        nk = int(h["kept_cnt"][i])
-        if r > 0 and nk:
-            y = x - r
-            ybase = hco[y]
-            if node_is_hub[y]:
-                d = depth[hub_idx[y]] + 1
-                src_hub[i] = hub_idx[y]
-            else:
-                d = 0
-                c = int(np.searchsorted(bounds, y, "right")) - 1
-                src_chunk[i] = c
-            depth[i] = d
-            sl, dl = cop.setdefault(int(d), ([], []))
-            for s0, ln in h["kept"][kk:kk + nk]:
-                cv = hsu[ybase + s0:ybase + s0 + ln]
-                p = np.searchsorted(fl, cv)
-                taken[p] = True
-                dl.append(hb_off[i] + p)
-                off = s0 + np.arange(ln, dtype=np.int64)
-                if node_is_hub[y]:
-                    sl.append(hb_off[hub_idx[y]] + off)
-                else:
-                    row = (halo_arcs[c] + (cum[y] - cum[starts[c]]) + off)
-                    sl.append(_tiled_flat(np.int64(c), row, V))
-            kk += nk
-        ni = int(h["int_cnt"][i])
-        for left, ln in h["ints"][ii:ii + ni]:
-            p0 = int(np.searchsorted(fl, left))
-            taken[p0:p0 + ln] = True
-            init_vals[hb_off[i] + p0:hb_off[i] + p0 + ln] = \
-                np.arange(left, left + ln, dtype=np.int64)
-        ii += ni
-        nres = int(h["res_cnt"][i])
-        if nres:
-            rp = np.flatnonzero(~taken)
-            assert len(rp) == nres, (x, len(rp), nres)
-            base = 0
-            for s in seg_of_node[i]:
-                cnt = int(seg_cnt[s])
-                dst_res_l.append(hb_off[i] + rp[base:base + cnt])
-                lane = np.int64(seg_lane0 + s)
-                src_res_l.append(_tiled_flat(
-                    lane, np.arange(cnt, dtype=np.int64), V))
-                base += cnt
-            assert base == nres
+    for _ in range(64):
+        nd = np.where(src_hub >= 0, depth[np.maximum(src_hub, 0)] + 1, 0)
+        if np.array_equal(nd, depth):
+            break
+        depth = nd
+
+    pair_node = np.repeat(np.arange(H, dtype=np.int64), h["kept_cnt"])
+    pair_s0 = h["kept"][:, 0]
+    pair_ln = h["kept"][:, 1]
+    cv_idx = (np.repeat(hco[yv[pair_node]] + pair_s0, pair_ln)
+              + _expand(pair_ln))
+    el_node = np.repeat(pair_node, pair_ln)
+    dst_cop = np.searchsorted(keys, (el_node << 32) | hsu[cv_idx])
+    taken[dst_cop] = True
+    el_off = np.repeat(pair_s0, pair_ln) + _expand(pair_ln)
+    el_yhub = np.repeat(y_is_hub[pair_node], pair_ln)
+    src_cop = np.empty(len(el_node), dtype=np.int64)
+    eh = el_yhub
+    src_cop[eh] = (hb_off[hub_idx[yv[el_node[eh]]]] + el_off[eh])
+    en = ~el_yhub
+    c_el = src_chunk[el_node[en]]
+    row = (halo_arcs[c_el] + (cum[yv[el_node[en]]] - cum[starts[c_el]])
+           + el_off[en])
+    src_cop[en] = _tiled_flat(c_el, row, V)
+    el_depth = np.repeat(depth[pair_node], pair_ln)
+
+    # intervals: static header data, pre-scattered into the hub image
+    int_node = np.repeat(np.arange(H, dtype=np.int64), h["int_cnt"])
+    int_left = h["ints"][:, 0]
+    int_ln = h["ints"][:, 1]
+    p0 = np.searchsorted(keys, (int_node << 32) | int_left)
+    iw = _expand(int_ln)
+    int_dst = np.repeat(p0, int_ln) + iw
+    init_vals[int_dst] = (np.repeat(int_left, int_ln) + iw).astype(np.int32)
+    taken[int_dst] = True
+
+    # residuals: the untaken positions, in order == segment emit order
+    dst_res = np.flatnonzero(~taken)
+    assert len(dst_res) == int(h["res_cnt"].sum())
+    lane_el = seg_lane0 + np.repeat(
+        np.arange(len(seg_cnt), dtype=np.int64), seg_cnt)
+    row_el = _expand(np.asarray(seg_cnt, dtype=np.int64))
+    src_res = _tiled_flat(lane_el, row_el, V)
 
     idt = np.int32 if (seg_lane0 + len(seg_node) + 1024) * V < (1 << 31) \
         else np.int64
-
-    def _cat(parts):
-        return (np.concatenate(parts).astype(idt) if parts
-                else np.zeros(0, dtype=idt))
-
     rounds = []
-    for d in sorted(cop):
-        sl, dl = cop[d]
-        rounds.append((int(d), jnp.asarray(_cat(sl)), jnp.asarray(_cat(dl))))
+    for d in np.unique(el_depth):
+        m_d = el_depth == d
+        rounds.append((int(d), jnp.asarray(src_cop[m_d].astype(idt)),
+                       jnp.asarray(dst_cop[m_d].astype(idt))))
     return HubPlan(
         nodes=hub_nodes, hb_off=hb_off, node_is_hub=node_is_hub,
         hub_idx=hub_idx, seg_lane0=seg_lane0, seg_node=seg_node,
         seg_cnt=seg_cnt, hub_init=jnp.asarray(init_vals),
-        src_res=jnp.asarray(_cat(src_res_l)),
-        dst_res=jnp.asarray(_cat(dst_res_l)),
+        src_res=jnp.asarray(src_res.astype(idt)),
+        dst_res=jnp.asarray(dst_res.astype(idt)),
         cop_rounds=rounds, src_chunk=src_chunk, src_hub=src_hub,
         depth=depth,
     )
@@ -1590,11 +1604,17 @@ def hub_fallback_nodes(prep: PreparedDecode, errs: np.ndarray) -> np.ndarray:
 
 @jax.jit
 def _assemble(flat, init, src_res, dst_res, src0, dst0, hub_rounds):
+    # every destination array is strictly ascending (merge positions in
+    # node order) and hits each slot once — scatter lowers as a sorted
+    # unique update, not the general serialized scatter
     hv = init.at[dst_res].set(jnp.take(flat, src_res, mode="clip"),
-                              mode="drop")
-    hv = hv.at[dst0].set(jnp.take(flat, src0, mode="clip"), mode="drop")
+                              mode="drop", indices_are_sorted=True,
+                              unique_indices=True)
+    hv = hv.at[dst0].set(jnp.take(flat, src0, mode="clip"), mode="drop",
+                         indices_are_sorted=True, unique_indices=True)
     for s, t in hub_rounds:
-        hv = hv.at[t].set(jnp.take(hv, s, mode="clip"), mode="drop")
+        hv = hv.at[t].set(jnp.take(hv, s, mode="clip"), mode="drop",
+                          indices_are_sorted=True, unique_indices=True)
     return hv
 
 
