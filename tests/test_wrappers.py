@@ -70,3 +70,29 @@ def test_bidirectional():
         assert bd.indegree(x) == len(preds)
     sym = bd.symmetrized()
     assert sym.to_csr().equals(T.symmetrize(g))
+
+
+def test_wrap_adapters_roundtrip():
+    """Ecosystem adapters (the ImmutableGraph.wrap analogue,
+    ImmutableGraph.java:920/:1039): scipy / networkx / edge arrays."""
+    import numpy as np
+    from webgraph_tpu.core import wrap as W
+
+    from .graphs import erdos_renyi
+    g = erdos_renyi(60, 0.1, seed=1).to_csr()
+    # scipy roundtrip
+    sp = W.to_scipy(g)
+    g2 = W.from_scipy(sp)
+    assert g2.equals(g)
+    assert W.wrap(sp).equals(g)
+    # networkx roundtrip
+    nxg = W.to_networkx(g)
+    g3 = W.from_networkx(nxg)
+    assert g3.equals(g)
+    assert W.wrap(nxg).equals(g)
+    # edges
+    src = np.repeat(np.arange(60), np.diff(g.offsets))
+    e = np.stack([src, g.succ], axis=1)
+    assert W.wrap(e, 60).equals(g)
+    # pass-through
+    assert W.wrap(g) is g

@@ -29,8 +29,7 @@ def from_scipy(mat) -> CSRGraph:
         indptr = np.concatenate([
             indptr, np.full(n - m.shape[0], indptr[-1], dtype=np.int64)])
     indices = np.asarray(m.indices, dtype=np.int64)
-    # csr column indices are not guaranteed sorted; normalize
-    g = CSRGraph(indptr, indices, num_nodes=n)
+    # csr column indices are not guaranteed sorted; normalize via arc sort
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     return CSRGraph.from_arcs(src, indices, n)
 
