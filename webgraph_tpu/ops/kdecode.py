@@ -1029,7 +1029,7 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     c_el = src_chunk[el_node[en]]
     row = (halo_arcs[c_el] + (cum[yv[el_node[en]]] - cum[starts[c_el]])
            + el_off[en])
-    src_cop[en] = _tiled_flat(c_el, row, V)
+    src_cop[en] = c_el * V + row          # lane-major store coordinates
     el_depth = np.repeat(depth[pair_node], pair_ln)
 
     # intervals: static header data, pre-scattered into the hub image
@@ -1048,21 +1048,29 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     lane_el = seg_lane0 + np.repeat(
         np.arange(len(seg_cnt), dtype=np.int64), seg_cnt)
     row_el = _expand(np.asarray(seg_cnt, dtype=np.int64))
-    src_res = _tiled_flat(lane_el, row_el, V)
+    src_res = lane_el * V + row_el        # lane-major store coordinates
 
     idt = np.int32 if (seg_lane0 + len(seg_node) + 1024) * V < (1 << 31) \
         else np.int64
     rounds = []
     for d in np.unique(el_depth):
+        if d == 0:
+            continue
         m_d = el_depth == d
         rounds.append((int(d), jnp.asarray(src_cop[m_d].astype(idt)),
                        jnp.asarray(dst_cop[m_d].astype(idt))))
+    # residuals + depth-0 copies both gather from the (lane-major) store:
+    # merge into ONE ascending scatter
+    m0 = el_depth == 0
+    src_all = np.concatenate([src_res, src_cop[m0]])
+    dst_all = np.concatenate([dst_res, dst_cop[m0]])
+    order = np.argsort(dst_all, kind="stable")
     return HubPlan(
         nodes=hub_nodes, hb_off=hb_off, node_is_hub=node_is_hub,
         hub_idx=hub_idx, seg_lane0=seg_lane0, seg_node=seg_node,
         seg_cnt=seg_cnt, hub_init=jnp.asarray(init_vals),
-        src_res=jnp.asarray(src_res.astype(idt)),
-        dst_res=jnp.asarray(dst_res.astype(idt)),
+        src_res=jnp.asarray(src_all[order].astype(idt)),
+        dst_res=jnp.asarray(dst_all[order].astype(idt)),
         cop_rounds=rounds, src_chunk=src_chunk, src_hub=src_hub,
         depth=depth,
     )
@@ -1603,15 +1611,17 @@ def hub_fallback_nodes(prep: PreparedDecode, errs: np.ndarray) -> np.ndarray:
 
 
 @jax.jit
-def _assemble(flat, init, src_res, dst_res, src0, dst0, hub_rounds):
-    # every destination array is strictly ascending (merge positions in
-    # node order) and hits each slot once — scatter lowers as a sorted
-    # unique update, not the general serialized scatter
-    hv = init.at[dst_res].set(jnp.take(flat, src_res, mode="clip"),
-                              mode="drop", indices_are_sorted=True,
-                              unique_indices=True)
-    hv = hv.at[dst0].set(jnp.take(flat, src0, mode="clip"), mode="drop",
-                         indices_are_sorted=True, unique_indices=True)
+def _assemble(out_cols, init, src, dst, hub_rounds):
+    # the tiled store strides consecutive rows 4 KiB apart — latency-bound
+    # for the run-shaped hub gathers — so first un-tile to lane-major on
+    # device (pure bandwidth), making every source run contiguous; the one
+    # merged destination array is strictly ascending and hits each slot
+    # once, so the scatter lowers as a sorted unique update
+    T, V8 = out_cols.shape[0], out_cols.shape[1]
+    lm = jnp.transpose(out_cols.reshape(T, V8, 8, 1024),
+                       (0, 3, 1, 2)).reshape(-1)
+    hv = init.at[dst].set(jnp.take(lm, src, mode="clip"), mode="drop",
+                          indices_are_sorted=True, unique_indices=True)
     for s, t in hub_rounds:
         hv = hv.at[t].set(jnp.take(hv, s, mode="clip"), mode="drop",
                           indices_are_sorted=True, unique_indices=True)
@@ -1624,17 +1634,10 @@ def assemble_hubs(prep: PreparedDecode, out_cols) -> Optional[jnp.ndarray]:
     reference-chain-depth rounds.  Returns int32[M_hub] or None."""
     if prep.hub is None:
         return None
-    flat = jnp.reshape(jnp.asarray(out_cols), (-1,))
-    z = jnp.zeros(0, dtype=prep.hub.src_res.dtype)
-    src0 = dst0 = z
-    hub_rounds = []
-    for d, s, t in prep.hub.cop_rounds:
-        if d == 0:
-            src0, dst0 = s, t
-        else:
-            hub_rounds.append((s, t))
-    return _assemble(flat, prep.hub.hub_init, prep.hub.src_res,
-                     prep.hub.dst_res, src0, dst0, tuple(hub_rounds))
+    hub_rounds = [(s, t) for d, s, t in prep.hub.cop_rounds if d > 0]
+    return _assemble(jnp.asarray(out_cols), prep.hub.hub_init,
+                     prep.hub.src_res, prep.hub.dst_res,
+                     tuple(hub_rounds))
 
 
 def decode_full(prep: PreparedDecode, interpret: Optional[bool] = None):
