@@ -1029,7 +1029,7 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     c_el = src_chunk[el_node[en]]
     row = (halo_arcs[c_el] + (cum[yv[el_node[en]]] - cum[starts[c_el]])
            + el_off[en])
-    src_cop[en] = c_el * V + row          # lane-major store coordinates
+    src_cop[en] = _tiled_flat(c_el, row, V)   # tiled store coordinates
     el_depth = np.repeat(depth[pair_node], pair_ln)
 
     # intervals: static header data, pre-scattered into the hub image
@@ -1048,7 +1048,7 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     lane_el = seg_lane0 + np.repeat(
         np.arange(len(seg_cnt), dtype=np.int64), seg_cnt)
     row_el = _expand(np.asarray(seg_cnt, dtype=np.int64))
-    src_res = lane_el * V + row_el        # lane-major store coordinates
+    src_res = _tiled_flat(lane_el, row_el, V)  # tiled store coordinates
 
     idt = np.int32 if (seg_lane0 + len(seg_node) + 1024) * V < (1 << 31) \
         else np.int64
@@ -1059,8 +1059,8 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
         m_d = el_depth == d
         rounds.append((int(d), jnp.asarray(src_cop[m_d].astype(idt)),
                        jnp.asarray(dst_cop[m_d].astype(idt))))
-    # residuals + depth-0 copies both gather from the (lane-major) store:
-    # merge into ONE ascending scatter
+    # residuals + depth-0 copies both gather from the tiled store: merge
+    # into ONE ascending scatter
     m0 = el_depth == 0
     src_all = np.concatenate([src_res, src_cop[m0]])
     dst_all = np.concatenate([dst_res, dst_cop[m0]])
@@ -1114,7 +1114,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
 
     W = settings.window_size
 
-    L = max(1024, min(1024 * 1024,
+    L = max(1024, min(4 * 1024 * 1024,
                       1 << int(np.ceil(np.log2(max(m, 1)
                                                / target_arcs_per_lane + 1)))))
 
@@ -1612,15 +1612,14 @@ def hub_fallback_nodes(prep: PreparedDecode, errs: np.ndarray) -> np.ndarray:
 
 @jax.jit
 def _assemble(out_cols, init, src, dst, hub_rounds):
-    # the tiled store strides consecutive rows 4 KiB apart — latency-bound
-    # for the run-shaped hub gathers — so first un-tile to lane-major on
-    # device (pure bandwidth), making every source run contiguous; the one
-    # merged destination array is strictly ascending and hits each slot
-    # once, so the scatter lowers as a sorted unique update
-    T, V8 = out_cols.shape[0], out_cols.shape[1]
-    lm = jnp.transpose(out_cols.reshape(T, V8, 8, 1024),
-                       (0, 3, 1, 2)).reshape(-1)
-    hv = init.at[dst].set(jnp.take(lm, src, mode="clip"), mode="drop",
+    # gather straight from the tiled store with precomputed tiled-flat
+    # source indices (an un-tile transpose to lane-major would make source
+    # runs contiguous, but XLA materializes the transposed copy in a padded
+    # layout — tens of GB at uk-2002 scale, past HBM); the one merged
+    # destination array is strictly ascending and hits each slot once, so
+    # the scatter lowers as a sorted unique update
+    flat = out_cols.reshape(-1)
+    hv = init.at[dst].set(jnp.take(flat, src, mode="clip"), mode="drop",
                           indices_are_sorted=True, unique_indices=True)
     for s, t in hub_rounds:
         hv = hv.at[t].set(jnp.take(hv, s, mode="clip"), mode="drop",
