@@ -22,9 +22,12 @@ vs_baseline: ratio against the build target of 10x an estimated
 single-thread Java reference decode rate (~200 M edges/s, BASELINE.md),
 i.e. vs_baseline = 1.0 at 2.0 B edges/s.
 
-Env knobs: BENCH_TARGET_ARCS/BENCH_VCAP/BENCH_RCAP (default 128/256/96),
-BENCH_SYNTH_NODES to also run the uk-2002-scale synthetic (extra line in
-BENCH_EXTRA.json).
+Env knobs: BENCH_TARGET_ARCS/BENCH_VCAP/BENCH_RCAP (default 128/512/160),
+BENCH_HUB_DEVICE=1 to decode hub nodes on-device (preset lanes + assembly)
+instead of the concurrent host fill (default: host fill — measured faster,
+the device assembly's hub-merge scatter costs ~0.44 s/decode at uk-2002
+scale while the host fill rides otherwise-idle CPUs), BENCH_SYNTH_NODES to
+also run the uk-2002-scale synthetic (extra line in BENCH_EXTRA.json).
 """
 
 import json
@@ -58,7 +61,8 @@ def _log(*a):
         print(*a, file=sys.stderr, flush=True)
 
 
-def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None):
+def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None,
+                hub_device=None):
     """Returns (per-decode seconds incl. concurrent host fill, extras)."""
     outd = native.decode_outdegrees(data, bv.offsets,
                                     bv.settings.outdegree_coding)
@@ -69,10 +73,13 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None):
         hco, hsu, refs = oracle
     _log("oracle decoded")
     t0 = time.time()
+    if hub_device is None:
+        hub_device = bool(int(os.environ.get("BENCH_HUB_DEVICE", 0)))
     prep = K.plan_kernel_decode(bv.offsets, outd, bv.settings, data,
                                 halo_csr=(hco, hsu), refs=refs,
                                 target_arcs_per_lane=target_arcs,
-                                v_cap=v_cap, r_cap=r_cap)
+                                v_cap=v_cap, r_cap=r_cap,
+                                hub_device=hub_device)
     plan_s = time.time() - t0
     if prep is None:
         raise RuntimeError("config outside kernel envelope")
@@ -141,8 +148,8 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None):
 
 def main():
     target_arcs = int(os.environ.get("BENCH_TARGET_ARCS", 128))
-    v_cap = int(os.environ.get("BENCH_VCAP", 256))
-    r_cap = int(os.environ.get("BENCH_RCAP", 96))
+    v_cap = int(os.environ.get("BENCH_VCAP", 512))
+    r_cap = int(os.environ.get("BENCH_RCAP", 160))
 
     # switch the tunnel runtime into its (truthful, fast) sync dispatch mode
     _ = np.asarray(jax.jit(lambda x: x + 1)(jnp.ones((8, 128), jnp.int32)))

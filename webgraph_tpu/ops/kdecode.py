@@ -827,9 +827,11 @@ class HubPlan:
     seg_node: np.ndarray     # int64[P] hub node id per preset lane
     seg_cnt: np.ndarray      # int64[P]
     hub_init: jnp.ndarray    # int32[M_hub] interval values pre-injected
-    src_res: jnp.ndarray     # int32[] flat tiled idx into the out store
+    src_res: jnp.ndarray     # int32[] preset-local lane-major idx (resid.)
     dst_res: jnp.ndarray     # int32[] positions in the hub value array
-    cop_rounds: list         # [(src idx, dst idx, from_hub: bool), ...]
+    src_cop0: jnp.ndarray    # int32[] flat tiled idx (depth-0 copies)
+    dst_cop0: jnp.ndarray    # int32[] hub positions (depth-0 copies)
+    cop_rounds: list         # [(depth, src idx, dst idx), ...] depth > 0
     src_chunk: np.ndarray    # int64[H] copy-source chunk (-1 none/hub)
     src_hub: np.ndarray      # int64[H] copy-source hub ordinal (-1 none)
     depth: np.ndarray        # int64[H] reference-chain depth among hubs
@@ -1048,7 +1050,10 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     lane_el = seg_lane0 + np.repeat(
         np.arange(len(seg_cnt), dtype=np.int64), seg_cnt)
     row_el = _expand(np.asarray(seg_cnt, dtype=np.int64))
-    src_res = _tiled_flat(lane_el, row_el, V)  # tiled store coordinates
+    # preset-LOCAL lane-major coordinates: the assembly un-tiles just the
+    # preset tile region to lane-major (cheap — presets are a few % of
+    # tiles), making every residual-segment source run contiguous
+    src_res = (lane_el - seg_lane0) * V + row_el
 
     idt = np.int32 if (seg_lane0 + len(seg_node) + 1024) * V < (1 << 31) \
         else np.int64
@@ -1059,18 +1064,18 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
         m_d = el_depth == d
         rounds.append((int(d), jnp.asarray(src_cop[m_d].astype(idt)),
                        jnp.asarray(dst_cop[m_d].astype(idt))))
-    # residuals + depth-0 copies both gather from the tiled store: merge
-    # into ONE ascending scatter
+    # depth-0 copies gather from the tiled store; order by destination so
+    # the scatter lowers as a sorted unique update
     m0 = el_depth == 0
-    src_all = np.concatenate([src_res, src_cop[m0]])
-    dst_all = np.concatenate([dst_res, dst_cop[m0]])
-    order = np.argsort(dst_all, kind="stable")
+    o0 = np.argsort(dst_cop[m0], kind="stable")
     return HubPlan(
         nodes=hub_nodes, hb_off=hb_off, node_is_hub=node_is_hub,
         hub_idx=hub_idx, seg_lane0=seg_lane0, seg_node=seg_node,
         seg_cnt=seg_cnt, hub_init=jnp.asarray(init_vals),
-        src_res=jnp.asarray(src_all[order].astype(idt)),
-        dst_res=jnp.asarray(dst_all[order].astype(idt)),
+        src_res=jnp.asarray(src_res.astype(idt)),
+        dst_res=jnp.asarray(dst_res.astype(idt)),
+        src_cop0=jnp.asarray(src_cop[m0][o0].astype(idt)),
+        dst_cop0=jnp.asarray(dst_cop[m0][o0].astype(idt)),
         cop_rounds=rounds, src_chunk=src_chunk, src_hub=src_hub,
         depth=depth,
     )
@@ -1114,7 +1119,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
 
     W = settings.window_size
 
-    L = max(1024, min(4 * 1024 * 1024,
+    L = max(1024, min(1024 * 1024,
                       1 << int(np.ceil(np.log2(max(m, 1)
                                                / target_arcs_per_lane + 1)))))
 
@@ -1610,17 +1615,34 @@ def hub_fallback_nodes(prep: PreparedDecode, errs: np.ndarray) -> np.ndarray:
     return hub.nodes[bad]
 
 
-@jax.jit
-def _assemble(out_cols, init, src, dst, hub_rounds):
-    # gather straight from the tiled store with precomputed tiled-flat
-    # source indices (an un-tile transpose to lane-major would make source
-    # runs contiguous, but XLA materializes the transposed copy in a padded
-    # layout — tens of GB at uk-2002 scale, past HBM); the one merged
-    # destination array is strictly ascending and hits each slot once, so
-    # the scatter lowers as a sorted unique update
-    flat = out_cols.reshape(-1)
-    hv = init.at[dst].set(jnp.take(flat, src, mode="clip"), mode="drop",
-                          indices_are_sorted=True, unique_indices=True)
+@functools.partial(jax.jit, static_argnames=("Lt",))
+def _assemble(out_cols, init, src_res, dst_res, src0, dst0, hub_rounds,
+              Lt: int):
+    # residual-segment sources live in the preset tile region [Lt:]; un-tile
+    # just that region to lane-major (per tile under lax.map so the padded
+    # transpose intermediate stays ~MB — a whole-store transpose
+    # materializes tens of GB at uk-2002 scale), making every residual run
+    # a contiguous gather.  Depth-0 copy sources gather from the tiled
+    # store with precomputed tiled-flat indices.  Every destination array
+    # is ascending and hits each slot once, so the scatters lower as
+    # sorted unique updates.
+    V8 = out_cols.shape[1]
+    V = V8 * 8
+    hv = init
+    if src_res.size:
+        def untile(tile):   # (V8, 8, 8, 128) -> (1024, V) lane-major
+            return jnp.transpose(tile.reshape(V8, 8, 1024),
+                                 (2, 0, 1)).reshape(1024, V)
+
+        lm = jax.lax.map(untile, out_cols[Lt:]).reshape(-1)
+        hv = hv.at[dst_res].set(jnp.take(lm, src_res, mode="clip"),
+                                mode="drop", indices_are_sorted=True,
+                                unique_indices=True)
+    if src0.size:
+        hv = hv.at[dst0].set(jnp.take(out_cols.reshape(-1), src0,
+                                      mode="clip"),
+                             mode="drop", indices_are_sorted=True,
+                             unique_indices=True)
     for s, t in hub_rounds:
         hv = hv.at[t].set(jnp.take(hv, s, mode="clip"), mode="drop",
                           indices_are_sorted=True, unique_indices=True)
@@ -1633,10 +1655,11 @@ def assemble_hubs(prep: PreparedDecode, out_cols) -> Optional[jnp.ndarray]:
     reference-chain-depth rounds.  Returns int32[M_hub] or None."""
     if prep.hub is None:
         return None
-    hub_rounds = [(s, t) for d, s, t in prep.hub.cop_rounds if d > 0]
+    hub_rounds = tuple((s, t) for d, s, t in prep.hub.cop_rounds if d > 0)
     return _assemble(jnp.asarray(out_cols), prep.hub.hub_init,
                      prep.hub.src_res, prep.hub.dst_res,
-                     tuple(hub_rounds))
+                     prep.hub.src_cop0, prep.hub.dst_cop0,
+                     hub_rounds, Lt=prep.hub.seg_lane0 // 1024)
 
 
 def decode_full(prep: PreparedDecode, interpret: Optional[bool] = None):
