@@ -25,13 +25,17 @@ from .graphs import (
 
 
 def kernel_roundtrip(g, tmp_path, **store_kwargs):
+    # warm plan (halo lists supplied) — the kernel-correctness sweep; the
+    # cold from-files-only path is covered by test_coldplan.py
     base = str(tmp_path / "kg")
     BVGraph.store(g, base, backend="python", **store_kwargs)
     bv = BVGraph.load(base)
     outd = np.asarray([len(bv.successors(x)) for x in range(bv.num_nodes)],
                       dtype=np.int64)
+    exp0 = g.to_csr()
     prep = K.plan_kernel_decode(bv.offsets, outd, bv.settings,
-                                np.asarray(bv.data))
+                                np.asarray(bv.data),
+                                halo_csr=(exp0.offsets, exp0.succ))
     assert prep is not None, "config should be in the kernel envelope"
     out, diag = K.decode_chunked(prep)
     errs = K.check_diag(prep, diag)

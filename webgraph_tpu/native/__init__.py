@@ -45,6 +45,8 @@ def _load():
             lib.wg_bv_fill_ranges.restype = ctypes.c_int64
         if hasattr(lib, "wg_select_refs"):
             lib.wg_select_refs.restype = ctypes.c_int64
+        if hasattr(lib, "wg_bv_scan_refs"):
+            lib.wg_bv_scan_refs.restype = ctypes.c_int64
         _lib = lib
     return _lib
 
@@ -147,6 +149,37 @@ def bv_decode_all_refs(data: np.ndarray, n: int, m: int, settings) -> tuple:
     if wrote < 0:
         raise RuntimeError(f"native decode failed: {wrote}")
     return csr_off, succ[:wrote], refs[:n]
+
+
+def bv_scan_refs(data: np.ndarray, offsets: np.ndarray, settings,
+                 threads: int = 0) -> np.ndarray:
+    """Header-only scan -> refs int32[n] (0 when no reference).
+
+    Reads only each entry's outdegree + reference codes at offsets[x] — the
+    cold-plan substitute for bv_decode_all_refs' refs output (no list
+    decode; the reference load contract needs only .graph/.offsets,
+    BVGraph.java:1479-1574)."""
+    lib = _load()
+    if not hasattr(lib, "wg_bv_scan_refs"):
+        raise RuntimeError("libwgnative.so is stale: rebuild (make)")
+    data = _padded(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    refs = np.zeros(max(n, 1), dtype=np.int32)
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding], dtype=np.int32)
+    rc = lib.wg_bv_scan_refs(
+        _ptr(data), ctypes.c_int64(len(data) - 16),
+        _ptr(offsets, ctypes.c_int64), ctypes.c_int64(n),
+        ctypes.c_int(settings.window_size), ctypes.c_int(settings.zeta_k),
+        _ptr(codings, ctypes.c_int), _ptr(refs, ctypes.c_int32),
+        ctypes.c_int(threads or (os.cpu_count() or 1)))
+    if rc < 0:
+        raise RuntimeError(f"native ref scan failed: {rc}")
+    return refs[:n]
 
 
 def bv_decode_range(data: np.ndarray, settings, p: int, x0: int, x1: int,

@@ -1256,4 +1256,45 @@ int64_t wg_bv_hub_parse(const uint8_t* data, int64_t len_bytes,
     return 0;
 }
 
+// Header-only reference scan: per node, position at offsets[x], read the
+// outdegree code and (window_size > 0, d > 0) the reference code; nothing
+// else is decoded — skipping to the next node is free via the offsets
+// index.  This is the cold-plan replacement for a full oracle decode
+// (refs_out of wg_bv_decode_all_refs): the kernel planner needs only the
+// per-node reference values to prune halo lists, and those live in the
+// entry header (format spec BVGraph.java:123-233; loadInternal needs only
+// .graph/.offsets, :1479-1574).  Threaded over contiguous node ranges
+// (each node's header parse is independent given its bit offset).
+int64_t wg_bv_scan_refs(const uint8_t* data, int64_t len_bytes,
+                        const int64_t* offsets, int64_t n,
+                        int window_size, int zeta_k, const int* codings,
+                        int32_t* refs_out, int threads) {
+    const int c_out = codings[0], c_ref = codings[1];
+    if (threads < 1) threads = 1;
+    std::vector<int64_t> errs((size_t)threads, 0);
+    auto work = [&](int t) {
+        const int64_t lo = n * t / threads, hi = n * (t + 1) / threads;
+        BitReader r(data, (size_t)len_bytes);
+        for (int64_t x = lo; x < hi; x++) {
+            r.pos = (size_t)offsets[x];
+            const int64_t d = read_coded(r, c_out, zeta_k);
+            if (d < 0) { errs[(size_t)t] = -1; return; }
+            int64_t ref = 0;
+            if (d > 0 && window_size > 0) ref = read_coded(r, c_ref, zeta_k);
+            if (ref < 0 || ref > window_size) { errs[(size_t)t] = -2; return; }
+            refs_out[x] = (int32_t)ref;
+        }
+    };
+    if (threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < threads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    for (int t = 0; t < threads; t++)
+        if (errs[(size_t)t] < 0) return errs[(size_t)t];
+    return 0;
+}
+
 }  // extern "C"

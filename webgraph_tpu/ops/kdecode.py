@@ -835,6 +835,17 @@ class HubPlan:
     src_chunk: np.ndarray    # int64[H] copy-source chunk (-1 none/hub)
     src_hub: np.ndarray      # int64[H] copy-source hub ordinal (-1 none)
     depth: np.ndarray        # int64[H] reference-chain depth among hubs
+    # cold-plan deferral: merge positions (dst_*) are unknown until real
+    # values exist — each component element gets a static UNSORTED slot
+    # ([copies | intervals | residuals] per hub); finalize_hub() derives
+    # the dst arrays from a device argsort at the wavefront fixpoint
+    finalized: bool = True
+    slot_res: Optional[jnp.ndarray] = None
+    slot_cop0: Optional[jnp.ndarray] = None
+    slot_rounds: Optional[list] = None   # [(depth, src, slot), ...]
+    int_slots: Optional[jnp.ndarray] = None
+    int_vals: Optional[jnp.ndarray] = None
+    ord_rep: Optional[jnp.ndarray] = None  # int64[M_hub] hub ordinal/pos
 
 
 def _tiled_flat(lane, row, V):
@@ -870,6 +881,19 @@ class PreparedDecode:
     hub: Optional[HubPlan] = None
     exp_arcs: Optional[np.ndarray] = None   # int64[lanes] expected wcur
     exp_nodes: Optional[np.ndarray] = None  # int64[lanes] expected nodes
+    # cold-plan state (plan built from .graph/.offsets alone): halo values
+    # come from resolve_halos() wavefront passes — wf_src4/wf_dst4 are the
+    # static (tiled-flat) gather/scatter index pair mapping store positions
+    # of predecessor lists to init-image halo rows
+    cold: bool = False
+    resolved: bool = True
+    wf_dst4: Optional[np.ndarray] = None
+    wf_src4: Optional[np.ndarray] = None
+    wf_nodes: Optional[np.ndarray] = None    # per-halo-list pred node id
+    wf_cnt: Optional[np.ndarray] = None      # per-halo-list length
+    wf_chunk: Optional[np.ndarray] = None    # per-halo-list source chunk
+    _data: Optional[np.ndarray] = None       # stream bytes (auto-resolve)
+    _settings: object = None
 
     @property
     def lanes(self) -> int:
@@ -981,6 +1005,7 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     taken = np.zeros(M_hub, dtype=bool)
     src_chunk = np.full(H, -1, dtype=np.int64)
     src_hub = np.full(H, -1, dtype=np.int64)
+    warm = hsu is not None
 
     def _expand(cnts):
         """within-offsets for flat runs of the given lengths."""
@@ -988,14 +1013,15 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
         return (np.arange(tot, dtype=np.int64)
                 - np.repeat(np.cumsum(cnts) - cnts, cnts))
 
-    # composite-key view of all hub lists at once: key = ord * 2^32 + value
-    # (values < 2^31), globally sorted, so one searchsorted resolves merge
-    # positions for every hub node without a per-node loop — and positions
-    # come out directly in hub-flat coordinates
-    hl_idx = np.repeat(hco[hub_nodes], np.diff(hb_off)) + _expand(
-        np.diff(hb_off))
-    keys = (np.repeat(np.arange(H, dtype=np.int64), np.diff(hb_off))
-            << 32) | hsu[hl_idx]
+    if warm:
+        # composite-key view of all hub lists at once: key = ord * 2^32 +
+        # value (values < 2^31), globally sorted, so one searchsorted
+        # resolves merge positions for every hub node without a per-node
+        # loop — and positions come out directly in hub-flat coordinates
+        hl_idx = np.repeat(hco[hub_nodes], np.diff(hb_off)) + _expand(
+            np.diff(hb_off))
+        keys = (np.repeat(np.arange(H, dtype=np.int64), np.diff(hb_off))
+                << 32) | hsu[hl_idx]
 
     # copy pairs (flat over kept ranges)
     ref = h["ref"]
@@ -1017,11 +1043,7 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     pair_node = np.repeat(np.arange(H, dtype=np.int64), h["kept_cnt"])
     pair_s0 = h["kept"][:, 0]
     pair_ln = h["kept"][:, 1]
-    cv_idx = (np.repeat(hco[yv[pair_node]] + pair_s0, pair_ln)
-              + _expand(pair_ln))
     el_node = np.repeat(pair_node, pair_ln)
-    dst_cop = np.searchsorted(keys, (el_node << 32) | hsu[cv_idx])
-    taken[dst_cop] = True
     el_off = np.repeat(pair_s0, pair_ln) + _expand(pair_ln)
     el_yhub = np.repeat(y_is_hub[pair_node], pair_ln)
     src_cop = np.empty(len(el_node), dtype=np.int64)
@@ -1034,50 +1056,113 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     src_cop[en] = _tiled_flat(c_el, row, V)   # tiled store coordinates
     el_depth = np.repeat(depth[pair_node], pair_ln)
 
-    # intervals: static header data, pre-scattered into the hub image
+    # intervals: static header data
     int_node = np.repeat(np.arange(H, dtype=np.int64), h["int_cnt"])
     int_left = h["ints"][:, 0]
     int_ln = h["ints"][:, 1]
-    p0 = np.searchsorted(keys, (int_node << 32) | int_left)
     iw = _expand(int_ln)
-    int_dst = np.repeat(p0, int_ln) + iw
-    init_vals[int_dst] = (np.repeat(int_left, int_ln) + iw).astype(np.int32)
-    taken[int_dst] = True
+    int_el_node = np.repeat(int_node, int_ln)
+    int_el_val = (np.repeat(int_left, int_ln) + iw).astype(np.int32)
 
-    # residuals: the untaken positions, in order == segment emit order
-    dst_res = np.flatnonzero(~taken)
-    assert len(dst_res) == int(h["res_cnt"].sum())
+    # residual sources: preset-LOCAL lane-major coordinates (the assembly
+    # un-tiles just the preset tile region to lane-major — cheap, presets
+    # are a few % of tiles — making every residual-segment source run
+    # contiguous)
     lane_el = seg_lane0 + np.repeat(
         np.arange(len(seg_cnt), dtype=np.int64), seg_cnt)
     row_el = _expand(np.asarray(seg_cnt, dtype=np.int64))
-    # preset-LOCAL lane-major coordinates: the assembly un-tiles just the
-    # preset tile region to lane-major (cheap — presets are a few % of
-    # tiles), making every residual-segment source run contiguous
     src_res = (lane_el - seg_lane0) * V + row_el
 
     idt = np.int32 if (seg_lane0 + len(seg_node) + 1024) * V < (1 << 31) \
         else np.int64
+
+    if warm:
+        # merge positions by searchsorted against the known final lists
+        dst_cop = np.searchsorted(keys, (el_node << 32)
+                                  | hsu[np.repeat(hco[yv[pair_node]]
+                                                  + pair_s0, pair_ln)
+                                        + _expand(pair_ln)])
+        taken[dst_cop] = True
+        int_dst = (np.repeat(np.searchsorted(
+            keys, (int_node << 32) | int_left), int_ln) + iw)
+        init_vals[int_dst] = int_el_val
+        taken[int_dst] = True
+        # residuals: the untaken positions, in order == segment emit order
+        dst_res = np.flatnonzero(~taken)
+        assert len(dst_res) == int(h["res_cnt"].sum())
+        rounds = []
+        for d in np.unique(el_depth):
+            if d == 0:
+                continue
+            m_d = el_depth == d
+            rounds.append((int(d), jnp.asarray(src_cop[m_d].astype(idt)),
+                           jnp.asarray(dst_cop[m_d].astype(idt))))
+        # depth-0 copies gather from the tiled store; order by destination
+        # so the scatter lowers as a sorted unique update
+        m0 = el_depth == 0
+        o0 = np.argsort(dst_cop[m0], kind="stable")
+        return HubPlan(
+            nodes=hub_nodes, hb_off=hb_off, node_is_hub=node_is_hub,
+            hub_idx=hub_idx, seg_lane0=seg_lane0, seg_node=seg_node,
+            seg_cnt=seg_cnt, hub_init=jnp.asarray(init_vals),
+            src_res=jnp.asarray(src_res.astype(idt)),
+            dst_res=jnp.asarray(dst_res.astype(idt)),
+            src_cop0=jnp.asarray(src_cop[m0][o0].astype(idt)),
+            dst_cop0=jnp.asarray(dst_cop[m0][o0].astype(idt)),
+            cop_rounds=rounds, src_chunk=src_chunk, src_hub=src_hub,
+            depth=depth,
+        )
+
+    # COLD: no list values exist yet.  Assign each element a static slot in
+    # the per-hub [copies | intervals | residuals] unsorted layout; the
+    # wavefront assembles values into slots and sorts by (hub, value) —
+    # lists are strictly ascending so the sort IS the 3-way merge
+    # (BVGraph.java:1062-1090) — and finalize_hub() then converts slots to
+    # final merge positions via the fixpoint argsort.
+    copc = np.zeros(H, dtype=np.int64)
+    np.add.at(copc, pair_node, pair_ln)
+    intc = np.zeros(H, dtype=np.int64)
+    np.add.at(intc, int_node, int_ln)
+    resc = np.asarray(h["res_cnt"], dtype=np.int64)
+
+    def _within_hub(el_hub, counts):
+        """Within-hub running index for elements grouped by ascending hub."""
+        return (np.arange(len(el_hub), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+
+    slot_cop = hb_off[el_node] + _within_hub(el_node, copc)
+    slot_int = (hb_off[int_el_node] + copc[int_el_node]
+                + _within_hub(int_el_node, intc))
+    res_el_node = np.repeat(np.arange(H, dtype=np.int64), resc)
+    slot_res = (hb_off[res_el_node] + copc[res_el_node]
+                + intc[res_el_node] + _within_hub(res_el_node, resc))
+    init_unsorted = np.zeros(M_hub, dtype=np.int32)
+    init_unsorted[slot_int] = int_el_val
     rounds = []
     for d in np.unique(el_depth):
         if d == 0:
             continue
         m_d = el_depth == d
         rounds.append((int(d), jnp.asarray(src_cop[m_d].astype(idt)),
-                       jnp.asarray(dst_cop[m_d].astype(idt))))
-    # depth-0 copies gather from the tiled store; order by destination so
-    # the scatter lowers as a sorted unique update
+                       jnp.asarray(slot_cop[m_d].astype(idt))))
     m0 = el_depth == 0
-    o0 = np.argsort(dst_cop[m0], kind="stable")
+    ord_rep = np.repeat(np.arange(H, dtype=np.int64), np.diff(hb_off))
     return HubPlan(
         nodes=hub_nodes, hb_off=hb_off, node_is_hub=node_is_hub,
         hub_idx=hub_idx, seg_lane0=seg_lane0, seg_node=seg_node,
-        seg_cnt=seg_cnt, hub_init=jnp.asarray(init_vals),
+        seg_cnt=seg_cnt, hub_init=jnp.asarray(init_unsorted),
         src_res=jnp.asarray(src_res.astype(idt)),
-        dst_res=jnp.asarray(dst_res.astype(idt)),
-        src_cop0=jnp.asarray(src_cop[m0][o0].astype(idt)),
-        dst_cop0=jnp.asarray(dst_cop[m0][o0].astype(idt)),
-        cop_rounds=rounds, src_chunk=src_chunk, src_hub=src_hub,
-        depth=depth,
+        dst_res=None,
+        src_cop0=jnp.asarray(src_cop[m0].astype(idt)),
+        dst_cop0=None,
+        cop_rounds=None, src_chunk=src_chunk, src_hub=src_hub,
+        depth=depth, finalized=False,
+        slot_res=jnp.asarray(slot_res.astype(idt)),
+        slot_cop0=jnp.asarray(slot_cop[m0].astype(idt)),
+        slot_rounds=rounds,
+        int_slots=jnp.asarray(slot_int.astype(idt)),
+        int_vals=jnp.asarray(int_el_val),
+        ord_rep=jnp.asarray(ord_rep),
     )
 
 
@@ -1109,6 +1194,18 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     the reference's arc-balanced task splitting,
     EliasFanoCumulativeOutdegreeList.java:139); only single nodes too big
     for any lane stay on the native host path."""
+    import os as _os
+    import time as _time
+    _trace = bool(_os.environ.get("WG_PLAN_TRACE"))
+    _t0 = _time.time()
+
+    def _tr(tag):
+        nonlocal _t0
+        if _trace:
+            t = _time.time()
+            print(f"[plan] {tag}: {t - _t0:.3f}s", flush=True)
+            _t0 = t
+
     offsets = np.asarray(offsets, dtype=np.int64)
     outd = np.asarray(outdegrees, dtype=np.int64)
     n = len(offsets) - 1
@@ -1141,30 +1238,34 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     bounds[1:L] = np.searchsorted(cumc, targets, side="left")
     bounds[L] = n
     bounds = np.maximum.accumulate(bounds)
+    _tr('chunk bounds')
 
     starts = bounds[:L]
     ends = bounds[1:]
     # halo lists: every chunk needs the final lists of the predecessors it
-    # references; resolve the source arrays up front
-    if W > 0 and (starts != ends).any():
-        if halo_csr is None:
-            if node_base:
-                raise ValueError("sliced plans (node_base != 0) need an "
-                                 "explicit halo_csr")
-            from .. import native as _native
-            if not _native.available():
-                return None
-            m_all = int(cum[n])   # the halo decode covers [0, n), not
-            if refs is None:       # just the chunked range [first_node, n)
-                hco, hsu, refs = _native.bv_decode_all_refs(
-                    data, n, m_all, settings)
-            else:
-                hco, hsu = _native.bv_decode_all(data, n, m_all, settings)
-        else:
-            hco, hsu = halo_csr
+    # references.  Warm path (halo_csr given, e.g. right after an encode):
+    # values are packed into the init image up front.  COLD path (plan from
+    # .graph/.offsets alone, the reference's load contract
+    # BVGraph.java:1479-1574): no list is decoded on the host — per-node
+    # reference values come from a native header-only scan, halo VALUES are
+    # resolved by resolve_halos() wavefront passes of the kernel itself
+    # (chains are <= max_ref_count hops, BVGraph.java:455, so
+    # max_ref_count+1 passes reach a fixpoint), and hub merge positions are
+    # derived from a device argsort at the fixpoint.
+    cold = halo_csr is None
+    if cold:
+        if node_base:
+            raise ValueError("sliced plans (node_base != 0) need an "
+                             "explicit halo_csr")
+        from .. import native as _native
+        if not _native.available():
+            return None
+        if refs is None and W > 0:
+            refs = _native.bv_scan_refs(data, offsets[:n + 1], settings)
+        hco = hsu = None
     else:
-        hco = cum
-        hsu = np.zeros(0, dtype=np.int64)
+        hco, hsu = halo_csr
+    _tr('halo source')
     if refs is not None:
         refs = np.asarray(refs)
 
@@ -1194,6 +1295,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         starts = bounds[:L]
         ends = bounds[1:]
     T = L // 1024
+    _tr('adaptive split')
 
     empty = starts == ends
     needed, halo_arcs, nwords, need_v = _chunk_needs(
@@ -1202,6 +1304,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     w0 = start_bits >> 5
     skipped = (~empty) & ((need_v > v_cap) | (nwords > r_cap - 2))
     active = (~empty) & ~skipped
+    _tr('chunk needs')
 
     V = int(min(v_cap, need_v[active].max() if active.any() else 8))
     V = (V + 7) & ~7
@@ -1219,9 +1322,6 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         from .. import native as _native
         single = skipped & (ends - starts == 1)
         if single.any() and _native.available():
-            if hsu.size == 0 and m > 0:   # W == 0: no halo CSR was needed
-                hco, hsu = _native.bv_decode_all(data, n, int(cum[n]),
-                                                 settings)
             hub_nodes = np.sort(starts[single])
             arc_q = max(16, min(target_arcs_per_lane, v_cap))
             bit_q = 32 * (r_cap - 2) - 256
@@ -1254,6 +1354,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     P = len(seg_node) if seg_node is not None else 0
     L_tot = L + ((P + 1023) // 1024) * 1024 if P else L
     T = L_tot // 1024
+    _tr('hub parse')
 
     spec = KernelSpec(
         window_size=W,
@@ -1287,6 +1388,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     # runtime: host->device bandwidth is ~16 MB/s, and the dense arrays are
     # ~8x bigger than their compact sources.
     words = pack_words_u32(data)
+    _tr('pack words')
     nw_act = np.where(active, nwords, 0).astype(np.int32)
     CYC = W + 1
     NMETA = 6 + 2 * CYC
@@ -1310,6 +1412,11 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         meta[sl, 5 + 2 * CYC] = seg_val.astype(np.int32)
     hdst = np.zeros(0, dtype=np.int64)
     hval = np.zeros(0, dtype=np.int32)
+    wf_dst = np.zeros(0, dtype=np.int64)   # cold: wavefront-resolved halo
+    wf_src = np.zeros(0, dtype=np.int64)   # lane-major src in the store
+    wf_nodes = np.zeros(0, dtype=np.int64)
+    wf_cnt = np.zeros(0, dtype=np.int64)
+    wf_chunk = np.zeros(0, dtype=np.int64)
     if W > 0:
         lanes_i = np.arange(L, dtype=np.int64)
         # per-(lane, j) predecessor y = start-1-j; packed rows accumulate in
@@ -1333,27 +1440,62 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         cnt = dy[pk]
         if cnt.size and cnt.sum():
             dst0 = (np.repeat(lanes_i[:, None], W, axis=1)[pk] * V + h[pk])
-            src0 = hco[ysc[pk]]
+            ys_sel = ysc[pk]
             within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
                 np.cumsum(cnt) - cnt, cnt)
             hdst = np.repeat(dst0, cnt) + within
-            hval = hsu[np.repeat(src0, cnt) + within].astype(np.int32)
+            if not cold:
+                src0 = hco[ys_sel]
+                hval = hsu[np.repeat(src0, cnt) + within].astype(np.int32)
+            else:
+                # cold: each halo element's VALUE lives in the store itself
+                # (pred y's list inside y's own chunk column) — recorded as
+                # a static gather source for the resolve_halos() wavefront.
+                # Preds in non-device chunks (skipped singles: hubs by bit
+                # size, not arcs — arc-hubs force the referencing chunk
+                # itself to skip) are host-decoded here, a bounded
+                # chain-chase per node (BVGraph.java:455).
+                c_y = np.searchsorted(bounds, ys_sel, side="right") - 1
+                act_y = active[c_y]
+                src_lm = (c_y * np.int64(V) + halo_arcs[c_y]
+                          + (cum[ys_sel] - cum[starts[c_y]]))
+                el_act = np.repeat(act_y, cnt)
+                el_src = np.repeat(src_lm, cnt) + within
+                wf_dst = hdst[el_act]
+                wf_src = el_src[el_act]
+                wf_nodes = ys_sel[act_y]
+                wf_cnt = cnt[act_y]
+                wf_chunk = c_y[act_y]
+                if not el_act.all():
+                    sval = _host_pred_values(ys_sel[~act_y], cnt[~act_y],
+                                             data, settings, offsets, outd,
+                                             cum)
+                    hval = sval.astype(np.int32)
+                    hdst = hdst[~el_act]
+                else:
+                    hdst = np.zeros(0, dtype=np.int64)
+    _tr('halo pack')
 
     # halo image: scatter the sparse halo values straight into the kernel's
     # tiled (T, V//8, 8, 8, 128) layout.  The tiled flat index is computed on
     # host; building the image by reshaping a (lane, row) array instead would
     # materialize an intermediate whose trailing dim of 8 TPU-tiles to 128
     # (16x padding -> tens of GB at uk-2002 scale).
-    lane_i = hdst // V
-    row_i = hdst - lane_i * V
-    hdst4 = ((lane_i >> 10) * (V * 1024) + (row_i >> 3) * 8192
-             + (row_i & 7) * 1024 + (lane_i & 1023))
+    def _to4(flat):
+        lane_i = flat // V
+        row_i = flat - lane_i * V
+        return ((lane_i >> 10) * (V * 1024) + (row_i >> 3) * 8192
+                + (row_i & 7) * 1024 + (lane_i & 1023))
+
+    hdst4 = _to4(hdst)
     init4 = _stage_init(jnp.asarray(hdst4), jnp.asarray(hval), T=T, V=V)
+    _tr('stage init')
     meta4, col4 = _stage_device(
         jnp.asarray(words.view(np.int32)),
         jnp.asarray(w0_all.astype(np.int32)),
         jnp.asarray(nw_all), jnp.asarray(meta),
         T=T, R=R, V=V, NMETA=NMETA)
+    _tr('stage device')
 
     # per-lane expectations (check_diag) + the hub assembly plan
     exp_arcs = np.zeros(T * 1024, dtype=np.int64)
@@ -1369,13 +1511,20 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
             hub_h, hub_nodes, hco, hsu, outd, cum, bounds, halo_arcs,
             n, V, L, seg_node, seg_cnt, seg_of_node)
         skipped = skipped & ~hub_handled
+    _tr('hub assembly plan')
 
-    return PreparedDecode(
+    idt = np.int32 if T * V * 1024 < (1 << 31) else np.int64
+    prep = PreparedDecode(
         spec=spec, meta=meta4, col=col4, init_out=init4, n=n, m=m,
         chunk_starts=bounds, halo_arcs=halo_arcs, cum_arcs=cum,
         outdegrees=outd, skipped=skipped, offsets=offsets,
         node_base=node_base, arc_base=arc_base, hub=hub,
-        exp_arcs=exp_arcs, exp_nodes=exp_nodes)
+        exp_arcs=exp_arcs, exp_nodes=exp_nodes,
+        cold=cold, resolved=not (cold and (len(wf_dst) or hub is not None)),
+        wf_dst4=_to4(wf_dst).astype(idt), wf_src4=_to4(wf_src).astype(idt),
+        wf_nodes=wf_nodes, wf_cnt=wf_cnt, wf_chunk=wf_chunk,
+        _data=data, _settings=settings)
+    return prep
 
 
 @functools.partial(jax.jit, static_argnames=("T", "V"))
@@ -1410,6 +1559,217 @@ def _stage_device(words, w0, nw, meta, *, T, R, V, NMETA):
         return meta_t, col_t
 
     return jax.lax.map(tile, jnp.arange(T, dtype=jnp.int32))
+
+
+def _host_pred_values(ys, cnts, data, settings, offsets, outd, cum):
+    """Host-decode the successor lists of the given predecessor nodes
+    (bounded chain-chase: decode from p = y - W*max_ref_count, the chain
+    bound BVGraph.java:455) and expand them to the flat per-request element
+    array.  Used only for halo predecessors that do not decode on device
+    (skipped single-node chunks)."""
+    import os as _os
+
+    from .. import native as _native
+
+    ys = np.asarray(ys, dtype=np.int64)
+    cnts = np.asarray(cnts, dtype=np.int64)
+    uy, inv = np.unique(ys, return_inverse=True)
+    W = settings.window_size
+    maxref = getattr(settings, "max_ref_count", 3)
+    halo_n = W * max(int(maxref), 1) if W > 0 else 0
+    p = np.maximum(uy - halo_n, 0)
+    init = np.zeros((len(uy), max(W, 1)), dtype=np.int64)
+    if W > 0:
+        yj = p[:, None] - 1 - np.arange(W, dtype=np.int64)[None, :]
+        ok = yj >= 0
+        init[ok] = outd[yj[ok]]
+    d = outd[uy]
+    uo = np.zeros(len(uy) + 1, dtype=np.int64)
+    np.cumsum(d, out=uo[1:])
+    succ = np.empty(max(int(uo[-1]), 1), dtype=np.int64)
+    dpad = np.concatenate([np.ascontiguousarray(data, dtype=np.uint8),
+                           np.zeros(16, dtype=np.uint8)])
+    _native.bv_fill_ranges(dpad, settings, p, uy, uy + 1,
+                           np.asarray(offsets)[p], init, uo[:-1], d, succ,
+                           threads=_os.cpu_count() or 1, padded=True)
+    within = (np.arange(int(cnts.sum()), dtype=np.int64)
+              - np.repeat(np.cumsum(cnts) - cnts, cnts))
+    return succ[np.repeat(uo[inv], cnts) + within]
+
+
+@jax.jit
+def _wf_extract(out_cols, src4):
+    return jnp.take(out_cols.reshape(-1), src4, mode="clip")
+
+
+@jax.jit
+def _wf_init(base_init, dst4, halo_vals):
+    shape = base_init.shape
+    return (base_init.reshape(-1).at[dst4].set(halo_vals)
+            .reshape(shape))
+
+
+def _sort2(ordk, vals, payload=None):
+    """Lexicographic (hub-ordinal, value) device sort without 64-bit keys
+    (TPU x64 is off); returns sorted vals (+ permuted payload)."""
+    ops = (ordk, vals) if payload is None else (ordk, vals, payload)
+    out = jax.lax.sort(ops, num_keys=2)
+    return out[1] if payload is None else (out[1], out[2])
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "Lt"))
+def _hub_unsorted(out_cols, init_unsorted, src_res, slot_res, src0, slot0,
+                  ord_rep, round_srcs, round_slots, n_rounds: int, Lt: int):
+    """Assemble hub component values into their UNSORTED static slots
+    ([copies | intervals | residuals] per hub) from the store; used by the
+    cold-plan finalize.  Hub->hub copy rounds re-sort between depths (the
+    source positions index the source hub's final ascending list)."""
+    V8 = out_cols.shape[1]
+    V = V8 * 8
+    un = init_unsorted
+    if src_res.size:
+        def untile(tile):
+            return jnp.transpose(tile.reshape(V8, 8, 1024),
+                                 (2, 0, 1)).reshape(1024, V)
+
+        lm = jax.lax.map(untile, out_cols[Lt:]).reshape(-1)
+        un = un.at[slot_res].set(jnp.take(lm, src_res, mode="clip"),
+                                 mode="drop", indices_are_sorted=True,
+                                 unique_indices=True)
+    if src0.size:
+        un = un.at[slot0].set(jnp.take(out_cols.reshape(-1), src0,
+                                       mode="clip"),
+                              mode="drop", indices_are_sorted=True,
+                              unique_indices=True)
+    for r in range(n_rounds):
+        sv = _sort2(ord_rep, un)
+        un = un.at[round_slots[r]].set(
+            jnp.take(sv, round_srcs[r], mode="clip"), mode="drop",
+            indices_are_sorted=True, unique_indices=True)
+    return un
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _rank_of(ord_rep, un):
+    """rank[slot] = final merge position of the element at unsorted slot
+    (argsort of the (hub, value) keys, inverted)."""
+    M = un.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    _, order = _sort2(ord_rep, un, idx)
+    return jnp.zeros((M,), jnp.int32).at[order].set(idx)
+
+
+@jax.jit
+def _sorted_pair(dst, src):
+    """Reorder a (dst, src) index pair by ascending dst so the assembly
+    scatter lowers as a sorted unique update."""
+    o = jnp.argsort(dst)
+    return dst[o], src[o]
+
+
+def finalize_hub(prep: PreparedDecode, out_cols) -> None:
+    """Cold-plan hub finalization at the wavefront fixpoint: derive the
+    final merge positions (dst_*) from a device argsort of the assembled
+    unsorted values, then rewrite the plan to the static-destination form
+    the timed assembly uses (assemble_hubs)."""
+    hub = prep.hub
+    if hub is None or hub.finalized:
+        return
+    rs = tuple(s for _, s, _ in hub.slot_rounds)
+    rt = tuple(t for _, _, t in hub.slot_rounds)
+    un = _hub_unsorted(jnp.asarray(out_cols), hub.hub_init, hub.src_res,
+                       hub.slot_res, hub.src_cop0, hub.slot_cop0,
+                       hub.ord_rep, rs, rt, n_rounds=len(rs),
+                       Lt=hub.seg_lane0 // 1024)
+    rank = _rank_of(hub.ord_rep, un)
+    M = int(un.shape[0])
+    d_int = rank[hub.int_slots]
+    o = jnp.argsort(d_int)
+    hub.hub_init = (jnp.zeros((M,), jnp.int32)
+                    .at[d_int[o]].set(hub.int_vals[o], mode="drop",
+                                      indices_are_sorted=True,
+                                      unique_indices=True))
+    hub.dst_res, hub.src_res = _sorted_pair(rank[hub.slot_res], hub.src_res)
+    hub.dst_cop0, hub.src_cop0 = _sorted_pair(rank[hub.slot_cop0],
+                                              hub.src_cop0)
+    hub.cop_rounds = []
+    for d, src, slot in hub.slot_rounds:
+        dst, src2 = _sorted_pair(rank[slot], src)
+        hub.cop_rounds.append((d, src2, dst))
+    hub.finalized = True
+
+
+def resolve_halos(prep: PreparedDecode, data=None, settings=None,
+                  interpret: Optional[bool] = None,
+                  max_passes: Optional[int] = None) -> int:
+    """Cold-plan halo resolution: wavefront passes of the kernel itself.
+
+    Pass k decodes with the current halo image and re-extracts every halo
+    list from the store; a node whose reference chain crosses <= k-1 chunk
+    boundaries is correct after pass k (chains are <= max_ref_count hops,
+    BVGraph.java:455/:2258, and outdegrees — hence all copy-block
+    STRUCTURE — are known up front, so wrong halo values never desync the
+    stream, they only propagate wrong list values).  max_ref_count + 1
+    passes therefore reach the fixpoint; convergence usually stops earlier
+    (halo equality between passes).  Finishes by deriving the hub merge
+    positions (finalize_hub).  Returns the number of kernel passes run."""
+    if not prep.cold or prep.resolved:
+        return 0
+    data = prep._data if data is None else data
+    settings = prep._settings if settings is None else settings
+    maxref = int(getattr(settings, "max_ref_count", 3) or 3)
+    if max_passes is None:
+        max_passes = maxref + 1
+    have_wf = prep.wf_dst4 is not None and len(prep.wf_dst4) > 0
+    base_init = prep.init_out
+    dst4 = jnp.asarray(prep.wf_dst4) if have_wf else None
+    src4 = jnp.asarray(prep.wf_src4) if have_wf else None
+    prev = None
+    passes = 0
+    o = None
+    for _ in range(max_passes):
+        o, dg = decode_chunked(prep, interpret=interpret)
+        passes += 1
+        if passes == 1 and have_wf:
+            # error-flagged lanes cannot serve as halo sources (their
+            # store rows are garbage): patch those predecessors from the
+            # host decoder.  Errors are structural (stream-dependent, not
+            # halo-dependent), so one check suffices.
+            errs = check_diag(prep, np.asarray(dg))
+            if (errs != 0).any() and prep.wf_chunk is not None:
+                bad = errs[prep.wf_chunk] != 0
+                if bad.any():
+                    vals = _host_pred_values(
+                        prep.wf_nodes[bad], prep.wf_cnt[bad], data,
+                        settings, prep.offsets, prep.outdegrees,
+                        prep.cum_arcs)
+                    el_bad = np.repeat(bad, prep.wf_cnt)
+                    bad4 = prep.wf_dst4[el_bad]
+                    base_init = _wf_init(base_init, jnp.asarray(bad4),
+                                         jnp.asarray(vals.astype(np.int32)))
+                    keep = ~el_bad
+                    prep.wf_dst4 = prep.wf_dst4[keep]
+                    prep.wf_src4 = prep.wf_src4[keep]
+                    prep.wf_nodes = prep.wf_nodes[~bad]
+                    prep.wf_cnt = prep.wf_cnt[~bad]
+                    prep.wf_chunk = prep.wf_chunk[~bad]
+                    have_wf = len(prep.wf_dst4) > 0
+                    dst4 = jnp.asarray(prep.wf_dst4)
+                    src4 = jnp.asarray(prep.wf_src4)
+                    prep.init_out = base_init
+                    if not have_wf:
+                        continue
+        if not have_wf:
+            break
+        halo = _wf_extract(o, src4)
+        if prev is not None and bool(jnp.array_equal(halo, prev)):
+            break
+        prep.init_out = _wf_init(base_init, dst4, halo)
+        prev = halo
+    if prep.hub is not None and not prep.hub.finalized:
+        finalize_hub(prep, o)
+    prep.resolved = True
+    return passes
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
@@ -1456,6 +1816,9 @@ def chunked_to_csr(prep: PreparedDecode, out_cols,
     here); skipped lanes (outside the VMEM envelope) and error-flagged
     lanes (scratch overflow on extreme nodes) are filled by the native
     host range decoder when ``data``/``settings`` are given."""
+    if prep.cold and not prep.resolved:
+        raise RuntimeError("cold plan not resolved: run resolve_halos() "
+                           "(or use decode_full) before assembling CSR")
     T, V = prep.spec.T, prep.spec.V
     nc = prep.n_chunk_lanes
     cols = np.asarray(out_cols).reshape(T, V // 8, 8, 1024)
@@ -1655,6 +2018,9 @@ def assemble_hubs(prep: PreparedDecode, out_cols) -> Optional[jnp.ndarray]:
     reference-chain-depth rounds.  Returns int32[M_hub] or None."""
     if prep.hub is None:
         return None
+    if not prep.hub.finalized:
+        raise RuntimeError("cold hub plan not finalized: run "
+                           "resolve_halos() first")
     hub_rounds = tuple((s, t) for d, s, t in prep.hub.cop_rounds if d > 0)
     return _assemble(jnp.asarray(out_cols), prep.hub.hub_init,
                      prep.hub.src_res, prep.hub.dst_res,
@@ -1664,6 +2030,9 @@ def assemble_hubs(prep: PreparedDecode, out_cols) -> Optional[jnp.ndarray]:
 
 def decode_full(prep: PreparedDecode, interpret: Optional[bool] = None):
     """Kernel decode + hub assembly: the complete timed device step.
-    Returns (out_cols, diag, hub_vals-or-None)."""
+    Returns (out_cols, diag, hub_vals-or-None).  Cold plans auto-resolve
+    their halo image on first use (resolve_halos wavefront)."""
+    if prep.cold and not prep.resolved:
+        resolve_halos(prep, interpret=interpret)
     o, dg = decode_chunked(prep, interpret=interpret)
     return o, dg, assemble_hubs(prep, o)
