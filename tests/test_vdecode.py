@@ -73,3 +73,31 @@ def test_vdecode_empty_nodes(tmp_path):
              np.zeros(0, dtype=np.int64),
              np.asarray([1], dtype=np.int64)]
     vdecode_check(CSRGraph.from_lists(lists), tmp_path)
+
+
+def test_unary_overrun_flags_not_silent(tmp_path):
+    """A Golomb residual whose unary quotient exceeds MAX_UNARY_BITS must be
+    flagged and scalar-patched, never decoded silently wrong (round-3
+    review item: the v1 engine previously capped the run and produced
+    garbage)."""
+    from webgraph_tpu.codecs.bvgraph import (BVGraph, BVGraphSettings,
+                                             CompressionFlags as C)
+    from webgraph_tpu.core.graph import CSRGraph
+
+    n = 4000
+    lists = [np.zeros(0, dtype=np.int64) for _ in range(n)]
+    # huge forward gap -> Golomb quotient ~ gap/zeta_k >> MAX_UNARY_BITS
+    lists[0] = np.asarray([1, 3000], dtype=np.int64)
+    lists[5] = np.asarray([6], dtype=np.int64)
+    g = CSRGraph.from_lists(lists)
+    s = BVGraphSettings(residual_coding=C.GOLOMB, zeta_k=3, window_size=0,
+                        min_interval_length=0)
+    base = str(tmp_path / "gol")
+    BVGraph.store(g, base, backend="python", settings=s)
+    bv = BVGraph.load(base)
+    cfg = vdecode.config_from_settings(bv.settings, batch=16)
+    co, succ = vdecode.decode_to_csr(np.asarray(bv.data), bv.offsets, cfg,
+                                     bvgraph=bv)
+    exp = g.to_csr()
+    np.testing.assert_array_equal(co, exp.offsets)
+    np.testing.assert_array_equal(succ, exp.succ)

@@ -181,7 +181,11 @@ def _read_unary(words, pos, active):
         add = jnp.where(hi2 != 0, _clz(hi2), 32 + _clz(lo2))
         u = jnp.where(pend, u + jnp.where(nz, add, 64), u)
         pend = pend & ~nz
-    return u
+    # lanes still pending exhausted the window sweep: the unary run is
+    # longer than MAX_UNARY_BITS and the decoded value is NOT trustworthy —
+    # callers must flag the node (scalar-oracle patch), never decode
+    # silently wrong (mirrors the kernel's E_UNARY contract, kdecode E_*)
+    return u, pend
 
 
 def _extract(words, pos, nbits):
@@ -209,9 +213,10 @@ def read_code(words, pos, kind, cfg: ParseConfig, kinds_used: Tuple[int, ...]):
         active = jnp.zeros_like(pos, dtype=jnp.bool_)
         for k in needs_unary:
             active = active | (kind == k)
-        u = _read_unary(words, pos, active)
+        u, uoflow = _read_unary(words, pos, active)
     else:
         u = jnp.zeros_like(pos)
+        uoflow = jnp.zeros_like(pos, dtype=jnp.bool_)
     body = pos + u + 1  # position after the unary terminator
 
     value = jnp.zeros_like(pos)
@@ -283,7 +288,7 @@ def read_code(words, pos, kind, cfg: ParseConfig, kinds_used: Tuple[int, ...]):
         value = jnp.where(m, acc, value)
         adv = jnp.where(m, pend - pos, adv)
 
-    return value, adv
+    return value, adv, uoflow
 
 
 def _nat2int(v):
@@ -298,8 +303,9 @@ def _nat2int(v):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _pass0(words, starts, cfg: ParseConfig):
     kind = jnp.full_like(starts, cfg.outdegree_coding)
-    d, adv = read_code(words, starts, kind, cfg, (cfg.outdegree_coding,))
-    return d, starts + adv
+    d, adv, uo = read_code(words, starts, kind, cfg,
+                            (cfg.outdegree_coding,))
+    return d, starts + adv, uo
 
 
 # ---------------------------------------------------------------------------
@@ -359,9 +365,13 @@ def _parse(words, xs_stack, outd, csr_off, out, cfg: ParseConfig):
             regs, out, blocks, oflow_c, refs_c, bc_c = c
             st = regs["st"]
             kind = jnp.take(table, st, mode="clip")
-            v, adv = read_code(words, regs["pos"], kind, cfg, kinds_used)
+            v, adv, uo = read_code(words, regs["pos"], kind, cfg,
+                                   kinds_used)
             x, d = regs["x"], regs["d"]
             new = dict(regs, pos=regs["pos"] + adv)
+            # unary overrun: flag the node for the scalar patch
+            oflow_c = oflow_c.at[jnp.where(uo, x, dump)].set(True,
+                                                             mode="drop")
 
             def sel(state, field, val):
                 new[field] = jnp.where(st == state, val, new[field])
@@ -627,7 +637,11 @@ def decode_to_csr(data, offsets, cfg: ParseConfig, bvgraph=None):
     words = jnp.asarray(pack_words_u32(data))
 
     starts = jnp.asarray(offsets[:-1], dtype=jnp.int32)
-    outd, after = _pass0(words, starts, cfg)
+    outd, after, uo0 = _pass0(words, starts, cfg)
+    if bool(jnp.any(uo0)):
+        raise ValueError("unary overrun while reading outdegrees: corrupt "
+                         "stream or unsupported coding "
+                         f"(nodes {np.flatnonzero(np.asarray(uo0))[:8]})")
     outd_np = np.asarray(outd)
     after_np = np.asarray(after)
     csr_off_np = np.zeros(n + 1, dtype=np.int64)

@@ -33,7 +33,7 @@ def decode_to_csr(data, offsets, cfg: V1.ParseConfig, bvgraph=None,
     MB = cfg.max_blocks
 
     starts = jnp.asarray(offsets[:-1], dtype=jnp.int32)
-    outd, pos_a = V1._pass0(words, starts, cfg)
+    outd, pos_a, _uo = V1._pass0(words, starts, cfg)
     refs, bc, pos_c = pass05(words, pos_a, outd, cfg)
 
     outd_np = np.asarray(outd)

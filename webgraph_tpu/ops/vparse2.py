@@ -205,11 +205,13 @@ def pass05(words, pos_a, d, cfg: ParseConfig):
         z = jnp.zeros_like(pos_a)
         return z, z, pos_a
     kind = jnp.where(d > 0, cfg.reference_coding, K_NONE)
-    ref, adv = read_code(words, pos_a, kind, cfg, (cfg.reference_coding,))
+    ref, adv, uo_a = read_code(words, pos_a, kind, cfg,
+                               (cfg.reference_coding,))
     ref = jnp.where(d > 0, ref, 0)
     pos_b = pos_a + adv
     kindb = jnp.where(ref > 0, cfg.block_count_coding, K_NONE)
-    bc, advb = read_code(words, pos_b, kindb, cfg, (cfg.block_count_coding,))
+    bc, advb, uo_b = read_code(words, pos_b, kindb, cfg,
+                                (cfg.block_count_coding,))
     bc = jnp.where(ref > 0, bc, 0)
     return ref, bc, pos_b + advb
 

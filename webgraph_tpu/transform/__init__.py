@@ -173,11 +173,7 @@ def _invert(perm_sorted_ids: np.ndarray) -> np.ndarray:
     return inv
 
 
-def lexicographical_permutation(g: ImmutableGraph) -> np.ndarray:
-    """Sort adjacency lists lexicographically; returns old -> new
-    (Transform.lexicographicalPermutation :2013)."""
-    csr = g if isinstance(g, CSRGraph) else g.to_csr()
-
+def _lex_cmp(csr):
     def cmp(x, y):
         a, b = csr.successors(x), csr.successors(y)
         la, lb = len(a), len(b)
@@ -190,16 +186,10 @@ def lexicographical_permutation(g: ImmutableGraph) -> np.ndarray:
                 return -1 if a[i] < b[i] else 1
         return -1 if la < lb else (1 if la > lb else 0)
 
-    order = sorted(range(g.num_nodes), key=cmp_to_key(cmp))
-    return _invert(np.asarray(order, dtype=np.int64))
+    return cmp
 
 
-def gray_code_permutation(g: ImmutableGraph) -> np.ndarray:
-    """Sort adjacency rows in Gray-code order; returns old -> new
-    (Transform.grayCodePermutation :1940: compare successor streams with a
-    running parity of the shared prefix length)."""
-    csr = g if isinstance(g, CSRGraph) else g.to_csr()
-
+def _gray_cmp(csr):
     def cmp(x, y):
         a, b = csr.successors(x), csr.successors(y)
         la, lb = len(a), len(b)
@@ -219,8 +209,76 @@ def gray_code_permutation(g: ImmutableGraph) -> np.ndarray:
             return 1 if parity else -1
         return -1 if parity else 1
 
-    order = sorted(range(g.num_nodes), key=cmp_to_key(cmp))
-    return _invert(np.asarray(order, dtype=np.int64))
+    return cmp
+
+
+def _row_sort_order(csr, gray: bool, key_cols: int = 8) -> np.ndarray:
+    """Vectorized ragged-row sort: one stable np.lexsort over the first
+    ``key_cols`` successor columns resolves almost every row; surviving tie
+    groups (rows equal on all packed columns with members deeper than the
+    prefix — e.g. hub/follower clusters) fall back to the exact comparator
+    within each group.  Scales to uk-2002-size graphs where a Python
+    comparison sort cannot (the reference uses parallel radix sorts,
+    Transform.java:1940-2013).
+
+    Gray order reduces to plain lexicographic order on a transformed key
+    stream: the Gray "decode" of an adjacency row is its prefix-XOR
+    bitvector, so comparison DESCENDS on even successor positions and
+    ascends on odd ones; the end-of-row sentinel sorts first at even
+    positions and last at odd ones (Transform.grayCodePermutation
+    semantics, :1940)."""
+    off = csr.offsets
+    succ = csr.succ
+    n = csr.num_nodes
+    deg = np.diff(off)
+    maxd = int(deg.max()) if n else 0
+    K = min(key_cols, maxd)
+    keys = []
+    for c in range(K):
+        has = deg > c
+        s = np.where(has, succ[np.minimum(off[:-1] + c, len(succ) - 1)], 0)
+        if gray and not (c & 1):
+            k = np.where(has, n - s, 0)       # descending; sentinel first
+        elif gray:
+            k = np.where(has, s + 1, n + 1)   # ascending; sentinel last
+        else:
+            k = np.where(has, s + 1, 0)       # ascending; sentinel first
+        keys.append(k)
+    if not keys:
+        return np.arange(n, dtype=np.int64)
+    order = np.lexsort(tuple(reversed(keys)))  # primary key = column 0
+    # tie groups: equal on every packed column, any member deeper than K
+    ks = np.stack([k[order] for k in keys])
+    same = np.zeros(n, dtype=bool)
+    same[1:] = (ks[:, 1:] == ks[:, :-1]).all(axis=0)
+    gid = np.cumsum(~same) - 1
+    need = np.zeros(gid[-1] + 1 if n else 0, dtype=bool)
+    np.maximum.at(need, gid, deg[order] > K)
+    grp_sz = np.bincount(gid)
+    resolve = need & (grp_sz > 1)
+    if resolve.any():
+        cmp = (_gray_cmp if gray else _lex_cmp)(csr)
+        # gid is nondecreasing over the sorted order: members contiguous
+        for gi in np.flatnonzero(resolve):
+            lo = np.searchsorted(gid, gi, side="left")
+            hi = np.searchsorted(gid, gi, side="right")
+            rows = sorted(order[lo:hi].tolist(), key=cmp_to_key(cmp))
+            order[lo:hi] = rows
+    return order
+
+
+def lexicographical_permutation(g: ImmutableGraph) -> np.ndarray:
+    """Sort adjacency lists lexicographically; returns old -> new
+    (Transform.lexicographicalPermutation :2013)."""
+    csr = g if isinstance(g, CSRGraph) else g.to_csr()
+    return _invert(_row_sort_order(csr, gray=False))
+
+
+def gray_code_permutation(g: ImmutableGraph) -> np.ndarray:
+    """Sort adjacency rows in Gray-code order; returns old -> new
+    (Transform.grayCodePermutation :1940)."""
+    csr = g if isinstance(g, CSRGraph) else g.to_csr()
+    return _invert(_row_sort_order(csr, gray=True))
 
 
 # ---------------------------------------------------------------------------
