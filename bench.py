@@ -5,36 +5,39 @@ Decodes the cnr-2000 golden fixture (325,557 nodes / 3,216,152 arcs, BVGraph
 w=7 maxref=3 minint=3 zeta_3) with the Pallas lane-per-chunk kernel
 (webgraph_tpu.ops.kdecode) and reports edges/second.  Output: ONE JSON line.
 
-Timed per decode = device kernel (all tiles, one dispatch via scan) + the
-concurrent host-native fill of the ~4% of arcs in lanes outside the kernel's
-VMEM envelope (hub regions) — i.e. the cost of a FULL decode of every arc,
-into the device-resident chunked successor store (the array-first decode
-product; a flat host CSR assembly is available via chunked_to_csr and timed
-separately in BENCH_EXTRA.json).  Bit-exactness vs the native oracle is
-asserted after timing.
+The plan is COLD: built from .graph/.offsets/settings alone (native
+header-only ref scan + on-device wavefront halo resolution + device-argsort
+hub finalize) — the native oracle decoder runs only AFTER timing, for the
+bit-exactness assert.  plan_s/resolve_s report the one-time cold cost.
+
+Timed per decode = device kernel (all tiles, one dispatch via scan) + hub
+assembly + flat-CSR assembly on device (decode_to_csr): the product of the
+timed step is a device-resident CSR successor array any consumer
+(HyperBall/BFS/SCC) can gather from — not a benchmark-island chunked store.
+Arcs outside the device envelope (skipped/error lanes) are host-decoded
+once at warmup and spliced from a cached device buffer; their fraction is
+reported as fallback_arc_frac (~0 with the device hub path on).
 
 Measurement protocol (docs/TPU_RUNTIME_NOTES.md): the tunnel runtime's
 initial async dispatch mode is pathological and unmeasurable; a readback at
 process start switches to the sync dispatch mode where block_until_ready is
-truthful; timings are medians of 3 windows of 5 decodes.
+truthful; timings are medians of 3 windows of `depth` decodes (dispatches
+pipelined so the ~22 ms tunnel RTT is paid once per window).
 
 vs_baseline: ratio against the build target of 10x an estimated
 single-thread Java reference decode rate (~200 M edges/s, BASELINE.md),
 i.e. vs_baseline = 1.0 at 2.0 B edges/s.
 
 Env knobs: BENCH_TARGET_ARCS/BENCH_VCAP/BENCH_RCAP (default 128/512/160),
-BENCH_HUB_DEVICE=1 to decode hub nodes on-device (preset lanes + assembly)
-instead of the concurrent host fill (default: host fill — measured faster,
-the device assembly's hub-merge scatter costs ~0.44 s/decode at uk-2002
-scale while the host fill rides otherwise-idle CPUs), BENCH_SYNTH_NODES to
-also run the uk-2002-scale synthetic (extra line in BENCH_EXTRA.json).
+BENCH_HUB_DEVICE=0 to host-fill hub nodes instead of the device hub path,
+BENCH_SYNTH_NODES to size the uk-2002-scale synthetic (0 disables),
+BENCH_CSR=0 to time the bare chunked-store decode instead of decode+CSR.
 """
 
 import json
 import os
 import sys
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,87 +66,151 @@ def _log(*a):
 
 def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None,
                 hub_device=None):
-    """Returns (per-decode seconds incl. concurrent host fill, extras)."""
+    """Cold-plan + timed decode.  Returns (decode_s, csr_s, extras)."""
+    if hub_device is None:
+        hub_device = bool(int(os.environ.get("BENCH_HUB_DEVICE", 1)))
+    m = bv.num_arcs
+
+    # ---- cold plan: .graph/.offsets/settings only ----
+    t0 = time.time()
     outd = native.decode_outdegrees(data, bv.offsets,
                                     bv.settings.outdegree_coding)
-    if oracle is None:
-        hco, hsu, refs = native.bv_decode_all_refs(
-            data, bv.num_nodes, bv.num_arcs, bv.settings)
-    else:
-        hco, hsu, refs = oracle
-    _log("oracle decoded")
-    t0 = time.time()
-    if hub_device is None:
-        hub_device = bool(int(os.environ.get("BENCH_HUB_DEVICE", 0)))
     prep = K.plan_kernel_decode(bv.offsets, outd, bv.settings, data,
-                                halo_csr=(hco, hsu), refs=refs,
                                 target_arcs_per_lane=target_arcs,
                                 v_cap=v_cap, r_cap=r_cap,
                                 hub_device=hub_device)
     plan_s = time.time() - t0
     if prep is None:
         raise RuntimeError("config outside kernel envelope")
-    _log("plan done", round(plan_s, 2))
+    assert prep.cold, "plan must not see any oracle decode"
+    t0 = time.time()
+    passes = K.resolve_halos(prep)
+    jax.block_until_ready(prep.init_out)
+    resolve_s = time.time() - t0
+    _log(f"plan {plan_s:.2f}s resolve {resolve_s:.2f}s ({passes} passes)")
 
-    # warmup: compile + first run + error lanes for the fill set
-    o, dg, hv = K.decode_full(prep, interpret=False)
-    jax.block_until_ready((o, dg) if hv is None else (o, dg, hv))
-    errs = K.check_diag(prep, np.asarray(dg))
+    # ---- warmup: compile + fill-cache build (one host fill, cached) ----
+    t0 = time.time()
+    K.plan_csr_index(prep)
+    co, succ, fill = K.decode_to_csr(prep, data=data, settings=bv.settings)
+    succ.block_until_ready()
+    warm_s = time.time() - t0
+    errs = K.check_diag(prep, np.asarray(K.decode_chunked(prep)[1]))
     nc = prep.n_chunk_lanes
     bad = prep.skipped | (errs[:nc] != 0)
     fb = K.hub_fallback_nodes(prep, errs)
-    _log("warm; bad lanes", int(bad.sum()), "hub fallback", len(fb),
-         "hub arcs", int(prep.hub.hb_off[-1]) if prep.hub else 0)
-    del o, dg, hv  # free the big outputs before the timed windows
+    cum = prep.cum_arcs
+    bad_arcs = int((cum[prep.chunk_starts[1:]]
+                    - cum[prep.chunk_starts[:-1]])[bad].sum())
+    if len(fb):
+        bad_arcs += int(np.diff(cum)[fb].sum())
+    _log(f"warm {warm_s:.1f}s bad lanes {int(bad.sum())} "
+         f"hub fallback {len(fb)} fallback arcs {bad_arcs}")
 
-    succ_fill = np.empty(prep.m, dtype=np.int64)
-
-    def host_fill():
-        t = time.time()
-        if bad.any() or len(fb):
-            K.fill_lanes(prep, bad, succ_fill, data, bv.settings,
-                         hub_nodes=fb)
-        return time.time() - t
-
-    # timed: several decodes per window, dispatches pipelined (device queue
-    # keeps the chip busy back-to-back; the ~22ms tunnel readback RTT is paid
-    # once per window, not per decode); host fills run concurrently on a
-    # pool.  Every in-flight decode holds its own output buffer in HBM, so
-    # the pipeline depth is capped by the output size (uk-2002-scale outputs
-    # are ~2 GB each).
-    out_bytes = prep.spec.T * prep.spec.V * 1024 * 4
-    depth = max(1, min(5, int(8e9 // max(out_bytes, 1))))
+    # ---- timed windows, pipelined ----
+    time_csr = bool(int(os.environ.get("BENCH_CSR", 1)))
+    store_bytes = prep.spec.T * prep.spec.V * 1024 * 4
+    per_decode = store_bytes + (prep.m * 4 if time_csr else 0)
+    depth = max(1, min(5, int(7e9 // max(per_decode, 1))))
     _log("pipeline depth", depth)
-    pool = ThreadPoolExecutor(2)
-    times, fill_s = [], 0.0
+
+    def one():
+        if time_csr:
+            _, s, _ = K.decode_to_csr(prep)
+            return s
+        o, dg, hv = K.decode_full(prep)
+        return (o, dg) if hv is None else (o, dg, hv)
+
+    times = []
     for _ in range(3):
         t0 = time.time()
-        futs = [pool.submit(host_fill) for _ in range(depth)]
-        res = [K.decode_full(prep, interpret=False) for _ in range(depth)]
-        o, d2, hv = res[-1]
+        res = [one() for _ in range(depth)]
         jax.block_until_ready(res)
-        fill_s = max(f.result() for f in futs)
         times.append((time.time() - t0) / depth)
         res = None
     decode_s = sorted(times)[1]
     _log("timed", decode_s)
 
-    # correctness: full assembly must be bit-exact vs the oracle
-    t0 = time.time()
-    co, succ = K.chunked_to_csr(prep, np.asarray(o), data=data,
-                                settings=bv.settings, errs=errs,
-                                hub_vals=hv)
-    assemble_s = time.time() - t0
-    ok = np.array_equal(succ, hsu) and np.array_equal(co, hco)
-    bad_arcs = int((prep.cum_arcs[prep.chunk_starts[1:]]
-                    - prep.cum_arcs[prep.chunk_starts[:-1]])[bad].sum())
-    if len(fb):
-        bad_arcs += int(np.diff(prep.cum_arcs)[fb].sum())
-    extras = dict(plan_s=round(plan_s, 3), fill_s=round(fill_s, 4),
-                  assemble_s=round(assemble_s, 3), bit_exact=bool(ok),
-                  fallback_arc_frac=round(bad_arcs / max(bv.num_arcs, 1), 4),
+    # ---- correctness: device CSR must match the oracle (decoded NOW,
+    # after timing — the plan never saw it) ----
+    if oracle is None:
+        hco, hsu = native.bv_decode_all(data, bv.num_nodes, m, bv.settings)
+    else:
+        hco, hsu = oracle[0], oracle[1]
+    _, succ, _ = K.decode_to_csr(prep)
+    ok = (np.array_equal(np.asarray(succ, dtype=np.int64), hsu)
+          and np.array_equal(np.asarray(co), hco))
+
+    extras = dict(plan_s=round(plan_s, 3), resolve_s=round(resolve_s, 3),
+                  resolve_passes=passes, warm_s=round(warm_s, 2),
+                  bit_exact=bool(ok), timed_product=(
+                      "device CSR" if time_csr else "chunked store"),
+                  fallback_arc_frac=round(bad_arcs / max(m, 1), 5),
                   spec=dict(T=prep.spec.T, V=prep.spec.V, R=prep.spec.R))
     return decode_s, extras
+
+
+def bench_ef(bv, hco, hsu):
+    """EFGraph on-device decode rate at fixture scale (VERDICT r3 #6)."""
+    import tempfile
+
+    from webgraph_tpu.codecs.efgraph import EFGraph
+    from webgraph_tpu.ops import efdecode
+
+    with tempfile.TemporaryDirectory() as td:
+        base = os.path.join(td, "ef")
+        from webgraph_tpu.core.graph import CSRGraph
+        g = CSRGraph(hco, hsu)
+        t0 = time.time()
+        EFGraph.store(g, base)
+        enc_s = time.time() - t0
+        ef = EFGraph.load(base)
+
+        def dec():
+            return efdecode.ef_decode_to_csr(ef.words, ef.offsets,
+                                             ef.upper_bound,
+                                             ef.log2_quantum)
+
+        t0 = time.time()
+        co, succ = dec()
+        warm = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            co, succ = dec()
+            times.append(time.time() - t0)
+        dec_s = sorted(times)[1]
+        ok = np.array_equal(np.asarray(succ, dtype=np.int64), hsu)
+        return dict(encode_s=round(enc_s, 2), warm_s=round(warm, 2),
+                    decode_Medges_per_s=round(len(hsu) / dec_s / 1e6, 1),
+                    bit_exact=bool(ok))
+
+
+def bench_tpu_encode(hco, hsu, settings, golden_bytes=None):
+    """Vectorized TPU encoder timing (VERDICT r3 #4): CSR -> BVGraph
+    stream on device, byte-identical to the native stream."""
+    from webgraph_tpu.ops import vencode
+
+    m = int(hco[-1])
+    t0 = time.time()
+    gbytes, gbits, _starts, _stats = vencode.encode_csr_chunked(
+        hco, hsu, settings)
+    warm = time.time() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        gbytes, gbits, _starts, _stats = vencode.encode_csr_chunked(
+            hco, hsu, settings)
+        times.append(time.time() - t0)
+    enc_s = min(times)
+    r = dict(warm_s=round(warm, 1),
+             encode_Medges_per_s=round(m / enc_s / 1e6, 1),
+             bits_per_link=round(gbits / max(m, 1), 3))
+    if golden_bytes is not None:
+        r["byte_identical"] = bool(
+            np.array_equal(np.frombuffer(gbytes, dtype=np.uint8),
+                           np.asarray(golden_bytes, dtype=np.uint8)))
+    return r
 
 
 def main():
@@ -162,7 +229,7 @@ def main():
     assert extra["bit_exact"], "decode is not bit-exact vs the native oracle"
     extra["decode_Medges_per_s"] = round(eps / 1e6, 1)
 
-    # encode throughput (native multithreaded path, timed on host)
+    # encode throughput: native host path + TPU vectorized path
     hco, hsu = native.bv_decode_all(data, bv.num_nodes, m, bv.settings)
     t0 = time.time()
     _g, gbits, _o, _ob, _st = native.bv_encode(hco, hsu, bv.settings,
@@ -172,6 +239,15 @@ def main():
     extra["encode_bits_per_link"] = round(gbits / m, 3)
 
     results = {"cnr2000": extra}
+    try:
+        results["cnr2000_tpu_encode"] = bench_tpu_encode(
+            hco, hsu, bv.settings, golden_bytes=data)
+    except Exception as e:  # noqa: BLE001
+        results["cnr2000_tpu_encode"] = {"error": repr(e)}
+    try:
+        results["cnr2000_ef"] = bench_ef(bv, hco, hsu)
+    except Exception as e:  # noqa: BLE001
+        results["cnr2000_ef"] = {"error": repr(e)}
 
     # uk-2002-scale synthetic (~18.5M nodes / ~355M arcs) runs by default;
     # BENCH_SYNTH_NODES=0 disables.  Failures there must not lose the
@@ -196,14 +272,14 @@ def main():
     if synth.get("bit_exact"):
         s_eps = synth["decode_Medges_per_s"] * 1e6
         print(json.dumps({
-            "metric": "bvgraph_decode_uk2002scale_edges_per_sec",
+            "metric": "bvgraph_cold_decode_to_csr_uk2002scale_edges_per_sec",
             "value": round(s_eps / 1e6, 2),
             "unit": "Medges/s",
             "vs_baseline": round(s_eps / TARGET, 4),
         }))
     else:
         print(json.dumps({
-            "metric": "bvgraph_decode_cnr2000_edges_per_sec",
+            "metric": "bvgraph_cold_decode_to_csr_cnr2000_edges_per_sec",
             "value": round(eps / 1e6, 2),
             "unit": "Medges/s",
             "vs_baseline": round(eps / TARGET, 4),

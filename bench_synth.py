@@ -71,27 +71,27 @@ def bench_synth(n_nodes, target_arcs, v_cap, r_cap):
         del co, su, hco0, hsu0
         np.savez(cache, data=data, offsets=offsets, n=n, m=m, gbits=gbits)
 
-    # oracle for the kernel-decode bit-exactness check
-    t0 = time.time()
-    hco, hsu, refs = native.bv_decode_all_refs(data, n, m, settings)
-    dec_host_s = time.time() - t0
-    _log(f"host oracle decode {dec_host_s:.1f}s")
+    # COLD decode bench first: the plan/timing must never see an oracle
+    # decode (the oracle runs inside bench_graph AFTER timing, for the
+    # bit-exactness assert)
+    bv = _SynthBV(data, n, m, settings, offsets)
+    decode_s, extra = bench_graph(bv, data, target_arcs, v_cap, r_cap)
+    assert extra["bit_exact"], "synthetic kernel decode not bit-exact"
 
-    # encode throughput, timed every run (the current encoder, not the
-    # cached stream's builder); output must reproduce the cached stream
+    # host decode rate (reference point) + encode throughput; the
+    # re-encode must reproduce the cached stream
+    t0 = time.time()
+    hco, hsu = native.bv_decode_all(data, n, m, settings)
+    dec_host_s = time.time() - t0
+    _log(f"host decode {dec_host_s:.1f}s")
     t0 = time.time()
     g2, gbits2, _o2, _ob2, _st2 = native.bv_encode(hco, hsu, settings,
                                                    threads=threads)
     enc_s = time.time() - t0
     assert gbits2 == gbits and np.array_equal(g2, data), \
         "synthetic re-encode diverged from cached stream"
-    del g2
+    del g2, hco, hsu
     _log(f"encode {enc_s:.1f}s ({m / enc_s / 1e6:.1f} Medges/s)")
-
-    bv = _SynthBV(data, n, m, settings, offsets)
-    decode_s, extra = bench_graph(bv, data, target_arcs, v_cap, r_cap,
-                                  oracle=(hco, hsu, refs))
-    assert extra["bit_exact"], "synthetic kernel decode not bit-exact"
     extra["nodes"] = n
     extra["arcs"] = m
     extra["gen_s"] = round(gen_s, 1)

@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA CPU compilation dominates suite wall-time (minutes of compiles per
+# run); the persistent cache makes repeat runs compile-free.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib
 
@@ -39,3 +44,13 @@ def cnr2000_basename():
     if not CNR2000.with_suffix(".graph").exists():
         pytest.skip("cnr-2000 fixture not available")
     return str(CNR2000)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_cache_reset_per_module():
+    """Free per-module jit/program caches: the full suite otherwise
+    accumulates enough XLA:CPU client state to crash late modules
+    (observed as a segfault inside backend_compile around the 80% mark).
+    Recompiles are cheap — programs reload from the persistent cache."""
+    yield
+    jax.clear_caches()

@@ -95,6 +95,12 @@ class KernelSpec:
     # gaps stay one code read per step.  burst > 1 doubles the stage-flush
     # cadence (8 rows can land every 2 steps)
     burst: int = 1
+    # residual burst: decode TWO residual gap codes per step when the
+    # second value still beats the other merge heads and enough buffered
+    # bits remain (avail - adv1 >= 64 keeps the second read exact).  A
+    # second read_code costs ~5% of a step; residual runs dominate arcs on
+    # real graphs, so this approaches 2 arcs/step on them.
+    res_burst: int = 1
 
     def supported(self) -> bool:
         ks = {self.outdegree_coding, self.reference_coding,
@@ -473,8 +479,28 @@ def _make_kernel(spec: KernelSpec):
             read_res = win_r & (g["r_rem"] > 1)
             kind = jnp.where(read_res, spec.residual_coding, kind)
             value, adv, err = read_code(b0, b1, b2, kind, err)
-            b0, b1, b2, avail = consume(b0, b1, b2, avail, adv)
             vi = _i32(value)
+
+            # -- residual double-emit: the next residual head rv1 is known
+            # as soon as the gap is read; if it still beats the other merge
+            # heads (streams are disjoint + sorted, BVGraph.java:1062-1090)
+            # it emits THIS step, and its own gap code is read speculatively
+            # from the remaining buffered bits
+            RB = spec.res_burst > 1 and EB > 1
+            if RB:
+                rv1 = g["r_val"] + vi + 1
+                lim_r = jnp.minimum(cval, ival)
+                emit2 = read_res & (rv1 < lim_r) & (avail - adv >= 64)
+                read2 = emit2 & (g["r_rem"] > 2)
+            b0, b1, b2, avail = consume(b0, b1, b2, avail, adv)
+            if RB:
+                kind2 = jnp.where(read2, spec.residual_coding, 0)
+                value2, adv2, err = read_code(b0, b1, b2, kind2, err)
+                b0, b1, b2, avail = consume(b0, b1, b2, avail,
+                                            jnp.where(read2, adv2, 0))
+                vi2 = _i32(value2)
+                cnt = cnt + jnp.where(emit2, 1, 0)
+                vals_t[1] = jnp.where(emit2, rv1, vals_t[1])
 
             d = g["d"]
             ref = g["ref"]
@@ -616,8 +642,14 @@ def _make_kernel(spec: KernelSpec):
             i_next = g["i_next"]
 
             # residual advance
-            r_rem = jnp.where(win_r, r_rem - 1, r_rem)
-            r_val = jnp.where(read_res, r_val + vi + 1, r_val)
+            if RB:
+                r_rem = (r_rem - jnp.where(win_r, 1, 0)
+                         - jnp.where(emit2, 1, 0))
+                r_val = jnp.where(read2, rv1 + vi2 + 1,
+                                  jnp.where(read_res, rv1, r_val))
+            else:
+                r_rem = jnp.where(win_r, r_rem - 1, r_rem)
+                r_val = jnp.where(read_res, r_val + vi + 1, r_val)
 
             # interval advance
             ilen_rem = ilen_rem - cnt_i
@@ -837,15 +869,12 @@ class HubPlan:
     depth: np.ndarray        # int64[H] reference-chain depth among hubs
     # cold-plan deferral: merge positions (dst_*) are unknown until real
     # values exist — each component element gets a static UNSORTED slot
-    # ([copies | intervals | residuals] per hub); finalize_hub() derives
-    # the dst arrays from a device argsort at the wavefront fixpoint
+    # ([copies | intervals | residuals] per hub); finalize_hub() expands
+    # the compact per-pair/interval/segment bases to element arrays on
+    # device and derives the dst arrays from an argsort at the wavefront
+    # fixpoint
     finalized: bool = True
-    slot_res: Optional[jnp.ndarray] = None
-    slot_cop0: Optional[jnp.ndarray] = None
-    slot_rounds: Optional[list] = None   # [(depth, src, slot), ...]
-    int_slots: Optional[jnp.ndarray] = None
-    int_vals: Optional[jnp.ndarray] = None
-    ord_rep: Optional[jnp.ndarray] = None  # int64[M_hub] hub ordinal/pos
+    cold_compact: Optional[dict] = None
 
 
 def _tiled_flat(lane, row, V):
@@ -882,16 +911,23 @@ class PreparedDecode:
     exp_arcs: Optional[np.ndarray] = None   # int64[lanes] expected wcur
     exp_nodes: Optional[np.ndarray] = None  # int64[lanes] expected nodes
     # cold-plan state (plan built from .graph/.offsets alone): halo values
-    # come from resolve_halos() wavefront passes — wf_src4/wf_dst4 are the
-    # static (tiled-flat) gather/scatter index pair mapping store positions
-    # of predecessor lists to init-image halo rows
+    # come from resolve_halos() wavefront passes — wf_dst0/wf_src0 are
+    # COMPACT per-halo-list lane-major base positions (dst in the init
+    # image, src in the store); the per-element (tiled-flat) index pair is
+    # expanded on device at resolve time
     cold: bool = False
     resolved: bool = True
-    wf_dst4: Optional[np.ndarray] = None
-    wf_src4: Optional[np.ndarray] = None
+    wf_dst0: Optional[np.ndarray] = None
+    wf_src0: Optional[np.ndarray] = None
     wf_nodes: Optional[np.ndarray] = None    # per-halo-list pred node id
     wf_cnt: Optional[np.ndarray] = None      # per-halo-list length
     wf_chunk: Optional[np.ndarray] = None    # per-halo-list source chunk
+    # device-CSR assembly index (plan_csr_index): per-arc tiled-store
+    # gather positions + hub arc CSR destinations
+    csr_idx4: Optional[jnp.ndarray] = None
+    csr_hub_dst: Optional[jnp.ndarray] = None
+    csr_fill_dst: Optional[jnp.ndarray] = None  # cached host-fill splice
+    csr_fill_val: Optional[jnp.ndarray] = None
     _data: Optional[np.ndarray] = None       # stream bytes (auto-resolve)
     _settings: object = None
 
@@ -1043,41 +1079,46 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     pair_node = np.repeat(np.arange(H, dtype=np.int64), h["kept_cnt"])
     pair_s0 = h["kept"][:, 0]
     pair_ln = h["kept"][:, 1]
-    el_node = np.repeat(pair_node, pair_ln)
-    el_off = np.repeat(pair_s0, pair_ln) + _expand(pair_ln)
-    el_yhub = np.repeat(y_is_hub[pair_node], pair_ln)
-    src_cop = np.empty(len(el_node), dtype=np.int64)
-    eh = el_yhub
-    src_cop[eh] = (hb_off[hub_idx[yv[el_node[eh]]]] + el_off[eh])
-    en = ~el_yhub
-    c_el = src_chunk[el_node[en]]
-    row = (halo_arcs[c_el] + (cum[yv[el_node[en]]] - cum[starts[c_el]])
-           + el_off[en])
-    src_cop[en] = _tiled_flat(c_el, row, V)   # tiled store coordinates
-    el_depth = np.repeat(depth[pair_node], pair_ln)
-
-    # intervals: static header data
+    pair_yhub = y_is_hub[pair_node]
+    pair_depth = depth[pair_node]
     int_node = np.repeat(np.arange(H, dtype=np.int64), h["int_cnt"])
     int_left = h["ints"][:, 0]
     int_ln = h["ints"][:, 1]
-    iw = _expand(int_ln)
-    int_el_node = np.repeat(int_node, int_ln)
-    int_el_val = (np.repeat(int_left, int_ln) + iw).astype(np.int32)
+    resc = np.asarray(h["res_cnt"], dtype=np.int64)
 
-    # residual sources: preset-LOCAL lane-major coordinates (the assembly
-    # un-tiles just the preset tile region to lane-major — cheap, presets
-    # are a few % of tiles — making every residual-segment source run
-    # contiguous)
-    lane_el = seg_lane0 + np.repeat(
-        np.arange(len(seg_cnt), dtype=np.int64), seg_cnt)
-    row_el = _expand(np.asarray(seg_cnt, dtype=np.int64))
-    src_res = (lane_el - seg_lane0) * V + row_el
+    # per-pair source BASE: hub-flat position for hub->hub copies,
+    # lane-major store position otherwise (element expansion happens on
+    # device — see finalize_hub / the warm branch below)
+    src0_pair = np.empty(len(pair_node), dtype=np.int64)
+    ph = pair_yhub
+    src0_pair[ph] = hb_off[hub_idx[yv[pair_node[ph]]]] + pair_s0[ph]
+    pn = ~ph
+    c_p = src_chunk[pair_node[pn]]
+    src0_pair[pn] = (c_p * np.int64(V) + halo_arcs[c_p]
+                     + (cum[yv[pair_node[pn]]] - cum[starts[c_p]])
+                     + pair_s0[pn])
 
     idt = np.int32 if (seg_lane0 + len(seg_node) + 1024) * V < (1 << 31) \
         else np.int64
 
     if warm:
         # merge positions by searchsorted against the known final lists
+        el_node = np.repeat(pair_node, pair_ln)
+        el_off = np.repeat(pair_s0, pair_ln) + _expand(pair_ln)
+        el_yhub = np.repeat(pair_yhub, pair_ln)
+        src_cop = np.repeat(src0_pair, pair_ln) + _expand(pair_ln)
+        en = ~el_yhub
+        lane_en = src_cop[en] // V
+        row_en = src_cop[en] - lane_en * V
+        src_cop[en] = _tiled_flat(lane_en, row_en, V)
+        el_depth = np.repeat(pair_depth, pair_ln)
+        iw = _expand(int_ln)
+        int_el_val = (np.repeat(int_left, int_ln) + iw).astype(np.int32)
+        lane_el = seg_lane0 + np.repeat(
+            np.arange(len(seg_cnt), dtype=np.int64), seg_cnt)
+        row_el = _expand(np.asarray(seg_cnt, dtype=np.int64))
+        src_res = (lane_el - seg_lane0) * V + row_el
+
         dst_cop = np.searchsorted(keys, (el_node << 32)
                                   | hsu[np.repeat(hco[yv[pair_node]]
                                                   + pair_s0, pair_ln)
@@ -1118,51 +1159,44 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
     # wavefront assembles values into slots and sorts by (hub, value) —
     # lists are strictly ascending so the sort IS the 3-way merge
     # (BVGraph.java:1062-1090) — and finalize_hub() then converts slots to
-    # final merge positions via the fixpoint argsort.
+    # final merge positions via the fixpoint argsort.  Only COMPACT
+    # per-pair/per-interval/per-segment bases are built here; the
+    # per-element arrays (tens of millions at uk-2002 scale) expand on
+    # device inside finalize_hub.
     copc = np.zeros(H, dtype=np.int64)
     np.add.at(copc, pair_node, pair_ln)
     intc = np.zeros(H, dtype=np.int64)
     np.add.at(intc, int_node, int_ln)
-    resc = np.asarray(h["res_cnt"], dtype=np.int64)
 
-    def _within_hub(el_hub, counts):
-        """Within-hub running index for elements grouped by ascending hub."""
-        return (np.arange(len(el_hub), dtype=np.int64)
-                - np.repeat(np.cumsum(counts) - counts, counts))
+    def _seg_slot0(owner, lens):
+        """Per-segment start slot within its hub (owners ascending)."""
+        ex = np.cumsum(lens) - lens
+        first = np.searchsorted(owner, np.arange(H))
+        first = np.minimum(first, max(len(ex) - 1, 0))
+        base0 = ex[first] if len(ex) else np.zeros(H, dtype=np.int64)
+        return ex - base0[owner]
 
-    slot_cop = hb_off[el_node] + _within_hub(el_node, copc)
-    slot_int = (hb_off[int_el_node] + copc[int_el_node]
-                + _within_hub(int_el_node, intc))
-    res_el_node = np.repeat(np.arange(H, dtype=np.int64), resc)
-    slot_res = (hb_off[res_el_node] + copc[res_el_node]
-                + intc[res_el_node] + _within_hub(res_el_node, resc))
-    init_unsorted = np.zeros(M_hub, dtype=np.int32)
-    init_unsorted[slot_int] = int_el_val
-    rounds = []
-    for d in np.unique(el_depth):
-        if d == 0:
-            continue
-        m_d = el_depth == d
-        rounds.append((int(d), jnp.asarray(src_cop[m_d].astype(idt)),
-                       jnp.asarray(slot_cop[m_d].astype(idt))))
-    m0 = el_depth == 0
-    ord_rep = np.repeat(np.arange(H, dtype=np.int64), np.diff(hb_off))
+    slot0_pair = hb_off[pair_node] + _seg_slot0(pair_node, pair_ln)
+    slot0_int = (hb_off[int_node] + copc[int_node]
+                 + _seg_slot0(int_node, int_ln))
+    seg_hub = hub_idx[seg_node]
+    slot0_seg = (hb_off[seg_hub] + copc[seg_hub] + intc[seg_hub]
+                 + _seg_slot0(seg_hub, np.asarray(seg_cnt, np.int64)))
+    src0_seg = np.arange(len(seg_cnt), dtype=np.int64) * V
+
+    cc = dict(M=M_hub, idt=idt,
+              pair=(src0_pair, slot0_pair, np.asarray(pair_ln, np.int64),
+                    pair_depth, pair_yhub),
+              ints=(np.asarray(int_left, np.int64),
+                    np.asarray(int_ln, np.int64), slot0_int),
+              segs=(src0_seg, np.asarray(seg_cnt, np.int64), slot0_seg))
     return HubPlan(
         nodes=hub_nodes, hb_off=hb_off, node_is_hub=node_is_hub,
         hub_idx=hub_idx, seg_lane0=seg_lane0, seg_node=seg_node,
-        seg_cnt=seg_cnt, hub_init=jnp.asarray(init_unsorted),
-        src_res=jnp.asarray(src_res.astype(idt)),
-        dst_res=None,
-        src_cop0=jnp.asarray(src_cop[m0].astype(idt)),
-        dst_cop0=None,
+        seg_cnt=seg_cnt, hub_init=None,
+        src_res=None, dst_res=None, src_cop0=None, dst_cop0=None,
         cop_rounds=None, src_chunk=src_chunk, src_hub=src_hub,
-        depth=depth, finalized=False,
-        slot_res=jnp.asarray(slot_res.astype(idt)),
-        slot_cop0=jnp.asarray(slot_cop[m0].astype(idt)),
-        slot_rounds=rounds,
-        int_slots=jnp.asarray(slot_int.astype(idt)),
-        int_vals=jnp.asarray(int_el_val),
-        ord_rep=jnp.asarray(ord_rep),
+        depth=depth, finalized=False, cold_compact=cc,
     )
 
 
@@ -1175,16 +1209,22 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        v_cap: int = 512, r_cap: int = 160,
                        bmax: int = 32, imax: int = 32,
                        unroll: Optional[int] = None, burst: int = 4,
+                       res_burst: int = 2,
                        node_base: int = 0, first_node: int = 0,
                        hub_device: bool = True,
                        ) -> Optional[PreparedDecode]:
     """Build the lane-chunk plan.  Returns None if the config/scale is
     outside the kernel's envelope (caller falls back).
 
-    ``halo_csr``: (csr_off, succ) arrays giving every node's final list,
-    used only to extract each chunk's predecessor lists.  When None, the
-    native host decoder produces them (one-time plan cost).
-    ``refs``: per-node reference values (native bv_decode_all_refs); when
+    ``halo_csr``: (csr_off, succ) arrays giving every node's final list
+    (warm path — e.g. right after an encode), used only to extract each
+    chunk's predecessor lists.  When None the plan is COLD — built from
+    the stream + offsets alone, the reference's load contract
+    (BVGraph.java:1479-1574): references come from a native header-only
+    scan and halo values resolve on device (``resolve_halos`` wavefront;
+    run it before decoding, or use ``decode_full``/``decode_to_csr``
+    which auto-resolve).
+    ``refs``: per-node reference values (native bv_scan_refs); when
     given, only the predecessor lists a chunk ACTUALLY references are
     packed into its halo rows (typically 0-2 lists instead of W), which
     shrinks the VMEM column budget and with it every masked sweep.
@@ -1366,6 +1406,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         block_coding=settings.block_coding,
         residual_coding=settings.residual_coding,
         R=R, V=V, T=T, BMAX=bmax, IMAX=imax, burst=burst,
+        res_burst=res_burst,
         max_steps=int(3 * V + 10 * int((ends - starts)[active].max()
                                        if active.any() else 1) + 64),
         unroll=(unroll if unroll is not None
@@ -1441,39 +1482,44 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         if cnt.size and cnt.sum():
             dst0 = (np.repeat(lanes_i[:, None], W, axis=1)[pk] * V + h[pk])
             ys_sel = ysc[pk]
-            within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
-                np.cumsum(cnt) - cnt, cnt)
-            hdst = np.repeat(dst0, cnt) + within
             if not cold:
+                within = (np.arange(int(cnt.sum()), dtype=np.int64)
+                          - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                hdst = np.repeat(dst0, cnt) + within
                 src0 = hco[ys_sel]
                 hval = hsu[np.repeat(src0, cnt) + within].astype(np.int32)
             else:
                 # cold: each halo element's VALUE lives in the store itself
                 # (pred y's list inside y's own chunk column) — recorded as
-                # a static gather source for the resolve_halos() wavefront.
-                # Preds in non-device chunks (skipped singles: hubs by bit
-                # size, not arcs — arc-hubs force the referencing chunk
-                # itself to skip) are host-decoded here, a bounded
-                # chain-chase per node (BVGraph.java:455).
+                # a COMPACT per-list (dst, src, cnt) triple; the element
+                # expansion runs on device in resolve_halos (host repeats
+                # over tens of millions of halo arcs cost seconds).  Preds
+                # in non-device chunks (skipped singles: hubs by bit size,
+                # not arcs — arc-hubs force the referencing chunk itself to
+                # skip) are host-decoded here, a bounded chain-chase per
+                # node (BVGraph.java:455).
                 c_y = np.searchsorted(bounds, ys_sel, side="right") - 1
-                act_y = active[c_y]
+                # preds before the first chunked node (sharded plans with
+                # first_node > 0) have no device source: host-static
+                act_y = (c_y >= 0) & active[np.maximum(c_y, 0)] \
+                    & (ys_sel >= bounds[0])
                 src_lm = (c_y * np.int64(V) + halo_arcs[c_y]
                           + (cum[ys_sel] - cum[starts[c_y]]))
-                el_act = np.repeat(act_y, cnt)
-                el_src = np.repeat(src_lm, cnt) + within
-                wf_dst = hdst[el_act]
-                wf_src = el_src[el_act]
+                wf_dst = dst0[act_y]       # per-LIST lane-major bases
+                wf_src = src_lm[act_y]
                 wf_nodes = ys_sel[act_y]
                 wf_cnt = cnt[act_y]
                 wf_chunk = c_y[act_y]
-                if not el_act.all():
-                    sval = _host_pred_values(ys_sel[~act_y], cnt[~act_y],
+                if not act_y.all():
+                    ina = ~act_y
+                    sval = _host_pred_values(ys_sel[ina], cnt[ina],
                                              data, settings, offsets, outd,
                                              cum)
                     hval = sval.astype(np.int32)
-                    hdst = hdst[~el_act]
-                else:
-                    hdst = np.zeros(0, dtype=np.int64)
+                    ci = cnt[ina]
+                    within = (np.arange(int(ci.sum()), dtype=np.int64)
+                              - np.repeat(np.cumsum(ci) - ci, ci))
+                    hdst = np.repeat(dst0[ina], ci) + within
     _tr('halo pack')
 
     # halo image: scatter the sparse halo values straight into the kernel's
@@ -1513,7 +1559,6 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         skipped = skipped & ~hub_handled
     _tr('hub assembly plan')
 
-    idt = np.int32 if T * V * 1024 < (1 << 31) else np.int64
     prep = PreparedDecode(
         spec=spec, meta=meta4, col=col4, init_out=init4, n=n, m=m,
         chunk_starts=bounds, halo_arcs=halo_arcs, cum_arcs=cum,
@@ -1521,7 +1566,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         node_base=node_base, arc_base=arc_base, hub=hub,
         exp_arcs=exp_arcs, exp_nodes=exp_nodes,
         cold=cold, resolved=not (cold and (len(wf_dst) or hub is not None)),
-        wf_dst4=_to4(wf_dst).astype(idt), wf_src4=_to4(wf_src).astype(idt),
+        wf_dst0=wf_dst, wf_src0=wf_src,
         wf_nodes=wf_nodes, wf_cnt=wf_cnt, wf_chunk=wf_chunk,
         _data=data, _settings=settings)
     return prep
@@ -1597,6 +1642,25 @@ def _host_pred_values(ys, cnts, data, settings, offsets, outd, cum):
     return succ[np.repeat(uo[inv], cnts) + within]
 
 
+def _to4_np(flat, V):
+    """Lane-major flat index -> tiled (T, V//8, 8, 8, 128) flat index."""
+    lane = flat // V
+    row = flat - lane * V
+    return ((lane >> 10) * (V * 1024) + (row >> 3) * 8192
+            + (row & 7) * 1024 + (lane & 1023))
+
+
+@functools.partial(jax.jit, static_argnames=("total", "V"))
+def _expand_to4(base, cnt_cum, total: int, V: int):
+    """Expand per-segment lane-major bases to per-element tiled-flat
+    indices on device (repeat + within + tiling math)."""
+    flat = _expand_device(base, cnt_cum, total)
+    lane = flat // V
+    row = flat - lane * V
+    return ((lane >> 10) * (V * 1024) + (row >> 3) * 8192
+            + ((row & 7) << 10) + (lane & 1023))
+
+
 @jax.jit
 def _wf_extract(out_cols, src4):
     return jnp.take(out_cols.reshape(-1), src4, mode="clip")
@@ -1668,32 +1732,73 @@ def _sorted_pair(dst, src):
 
 
 def finalize_hub(prep: PreparedDecode, out_cols) -> None:
-    """Cold-plan hub finalization at the wavefront fixpoint: derive the
-    final merge positions (dst_*) from a device argsort of the assembled
-    unsorted values, then rewrite the plan to the static-destination form
+    """Cold-plan hub finalization at the wavefront fixpoint: expand the
+    compact component bases to per-element device arrays, assemble the
+    unsorted values from the store, derive the final merge positions from
+    a device argsort, then rewrite the plan to the static-destination form
     the timed assembly uses (assemble_hubs)."""
     hub = prep.hub
     if hub is None or hub.finalized:
         return
-    rs = tuple(s for _, s, _ in hub.slot_rounds)
-    rt = tuple(t for _, _, t in hub.slot_rounds)
-    un = _hub_unsorted(jnp.asarray(out_cols), hub.hub_init, hub.src_res,
-                       hub.slot_res, hub.src_cop0, hub.slot_cop0,
-                       hub.ord_rep, rs, rt, n_rounds=len(rs),
+    cc = hub.cold_compact
+    V = prep.spec.V
+    M = int(cc["M"])
+    if cc["idt"] is not np.int32 and cc["idt"] != np.int32:
+        raise RuntimeError("cold hub finalize needs int32 index domain; "
+                           "slice the graph (ops/bigdecode) instead")
+
+    def _ccum(cnt):
+        c = np.zeros(len(cnt) + 1, dtype=np.int32)
+        np.cumsum(cnt, out=c[1:])
+        return c
+
+    def exp(base, cnt):
+        c = _ccum(cnt)
+        return _expand_device(jnp.asarray(base.astype(np.int32)),
+                              jnp.asarray(c), total=int(c[-1]))
+
+    src0_pair, slot0_pair, pair_ln, pair_depth, pair_yhub = cc["pair"]
+    m0 = pair_depth == 0
+    c0 = _ccum(pair_ln[m0])
+    src_cop0 = _expand_to4(jnp.asarray(src0_pair[m0].astype(np.int32)),
+                           jnp.asarray(c0), total=int(c0[-1]), V=V)
+    slot_cop0 = exp(slot0_pair[m0], pair_ln[m0])
+    rounds = []
+    for d in np.unique(pair_depth[pair_depth > 0]):
+        sel = pair_depth == d
+        rounds.append((int(d), exp(src0_pair[sel], pair_ln[sel]),
+                       exp(slot0_pair[sel], pair_ln[sel])))
+    int_left, int_ln, slot0_int = cc["ints"]
+    int_vals = exp(int_left, int_ln)
+    int_slots = exp(slot0_int, int_ln)
+    src0_seg, seg_cnt, slot0_seg = cc["segs"]
+    src_res = exp(src0_seg, seg_cnt)
+    slot_res = exp(slot0_seg, seg_cnt)
+    ord_rep = _repeat_device(
+        jnp.arange(len(hub.nodes), dtype=jnp.int32),
+        jnp.asarray(hub.hb_off.astype(np.int32)), total=M)
+    init_unsorted = (jnp.zeros((M,), jnp.int32)
+                     .at[int_slots].set(int_vals, mode="drop",
+                                        indices_are_sorted=True,
+                                        unique_indices=True))
+
+    rs = tuple(s for _, s, _ in rounds)
+    rt = tuple(t for _, _, t in rounds)
+    un = _hub_unsorted(jnp.asarray(out_cols), init_unsorted, src_res,
+                       slot_res, src_cop0, slot_cop0,
+                       ord_rep, rs, rt, n_rounds=len(rs),
                        Lt=hub.seg_lane0 // 1024)
-    rank = _rank_of(hub.ord_rep, un)
-    M = int(un.shape[0])
-    d_int = rank[hub.int_slots]
+    rank = _rank_of(ord_rep, un)
+    d_int = rank[int_slots]
     o = jnp.argsort(d_int)
     hub.hub_init = (jnp.zeros((M,), jnp.int32)
-                    .at[d_int[o]].set(hub.int_vals[o], mode="drop",
+                    .at[d_int[o]].set(int_vals[o], mode="drop",
                                       indices_are_sorted=True,
                                       unique_indices=True))
-    hub.dst_res, hub.src_res = _sorted_pair(rank[hub.slot_res], hub.src_res)
-    hub.dst_cop0, hub.src_cop0 = _sorted_pair(rank[hub.slot_cop0],
-                                              hub.src_cop0)
+    hub.dst_res, hub.src_res = _sorted_pair(rank[slot_res], src_res)
+    hub.dst_cop0, hub.src_cop0 = _sorted_pair(rank[slot_cop0], src_cop0)
     hub.cop_rounds = []
-    for d, src, slot in hub.slot_rounds:
+    for (d, src, slot) in rounds:
         dst, src2 = _sorted_pair(rank[slot], src)
         hub.cop_rounds.append((d, src2, dst))
     hub.finalized = True
@@ -1720,10 +1825,24 @@ def resolve_halos(prep: PreparedDecode, data=None, settings=None,
     maxref = int(getattr(settings, "max_ref_count", 3) or 3)
     if max_passes is None:
         max_passes = maxref + 1
-    have_wf = prep.wf_dst4 is not None and len(prep.wf_dst4) > 0
+
+    V = prep.spec.V
+
+    def _expand4(dst0, src0, cnt):
+        """Per-list lane-major bases -> per-element tiled-flat device
+        index pair (one _expand_device + elementwise math, ~ms)."""
+        ccum = np.zeros(len(cnt) + 1, dtype=np.int32)
+        np.cumsum(cnt, out=ccum[1:])
+        total = int(ccum[-1])
+        ccum_d = jnp.asarray(ccum)
+        d = _expand_to4(jnp.asarray(dst0.astype(np.int32)), ccum_d, total, V)
+        s = _expand_to4(jnp.asarray(src0.astype(np.int32)), ccum_d, total, V)
+        return d, s
+
+    have_wf = prep.wf_dst0 is not None and len(prep.wf_dst0) > 0
     base_init = prep.init_out
-    dst4 = jnp.asarray(prep.wf_dst4) if have_wf else None
-    src4 = jnp.asarray(prep.wf_src4) if have_wf else None
+    if have_wf:
+        dst4, src4 = _expand4(prep.wf_dst0, prep.wf_src0, prep.wf_cnt)
     prev = None
     passes = 0
     o = None
@@ -1743,19 +1862,23 @@ def resolve_halos(prep: PreparedDecode, data=None, settings=None,
                         prep.wf_nodes[bad], prep.wf_cnt[bad], data,
                         settings, prep.offsets, prep.outdegrees,
                         prep.cum_arcs)
-                    el_bad = np.repeat(bad, prep.wf_cnt)
-                    bad4 = prep.wf_dst4[el_bad]
-                    base_init = _wf_init(base_init, jnp.asarray(bad4),
-                                         jnp.asarray(vals.astype(np.int32)))
-                    keep = ~el_bad
-                    prep.wf_dst4 = prep.wf_dst4[keep]
-                    prep.wf_src4 = prep.wf_src4[keep]
-                    prep.wf_nodes = prep.wf_nodes[~bad]
-                    prep.wf_cnt = prep.wf_cnt[~bad]
-                    prep.wf_chunk = prep.wf_chunk[~bad]
-                    have_wf = len(prep.wf_dst4) > 0
-                    dst4 = jnp.asarray(prep.wf_dst4)
-                    src4 = jnp.asarray(prep.wf_src4)
+                    ci = prep.wf_cnt[bad]
+                    within = (np.arange(int(ci.sum()), dtype=np.int64)
+                              - np.repeat(np.cumsum(ci) - ci, ci))
+                    bad_el = np.repeat(prep.wf_dst0[bad], ci) + within
+                    base_init = _wf_init(
+                        base_init, jnp.asarray(_to4_np(bad_el, V)),
+                        jnp.asarray(vals.astype(np.int32)))
+                    keep = ~bad
+                    prep.wf_dst0 = prep.wf_dst0[keep]
+                    prep.wf_src0 = prep.wf_src0[keep]
+                    prep.wf_nodes = prep.wf_nodes[keep]
+                    prep.wf_cnt = prep.wf_cnt[keep]
+                    prep.wf_chunk = prep.wf_chunk[keep]
+                    have_wf = len(prep.wf_dst0) > 0
+                    if have_wf:
+                        dst4, src4 = _expand4(prep.wf_dst0, prep.wf_src0,
+                                              prep.wf_cnt)
                     prep.init_out = base_init
                     if not have_wf:
                         continue
@@ -2026,6 +2149,153 @@ def assemble_hubs(prep: PreparedDecode, out_cols) -> Optional[jnp.ndarray]:
                      prep.hub.src_res, prep.hub.dst_res,
                      prep.hub.src_cop0, prep.hub.dst_cop0,
                      hub_rounds, Lt=prep.hub.seg_lane0 // 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("total",))
+def _expand_device(first, cnt_cum, total: int):
+    """repeat(first, counts) + within, built on device from compact
+    per-segment arrays (cnt_cum = exclusive cumsum of counts, int32[S+1])."""
+    seg = (jnp.cumsum(jnp.zeros((total,), jnp.int32)
+                      .at[cnt_cum[:-1]].add(1, mode="drop")) - 1)
+    return first[seg] + (jnp.arange(total, dtype=jnp.int32) - cnt_cum[seg])
+
+
+@functools.partial(jax.jit, static_argnames=("total",))
+def _repeat_device(vals, cnt_cum, total: int):
+    """repeat(vals, counts) on device (no within-offset)."""
+    seg = (jnp.cumsum(jnp.zeros((total,), jnp.int32)
+                      .at[cnt_cum[:-1]].add(1, mode="drop")) - 1)
+    return vals[seg]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "V"))
+def _csr_index_device(arc_start, halo, m: int, V: int):
+    """Per-arc tiled-store gather index, built on device from per-lane
+    compacts: arc k of chunk lane i lives at row halo_i + (k - arc_start_i)
+    of lane i's output column."""
+    lane = (jnp.cumsum(jnp.zeros((m,), jnp.int32)
+                       .at[arc_start[1:]].add(1, mode="drop")))
+    row = halo[lane] + (jnp.arange(m, dtype=jnp.int32) - arc_start[lane])
+    return ((lane >> 10) * (V * 1024) + (row >> 3) * 8192
+            + ((row & 7) << 10) + (lane & 1023))
+
+
+@jax.jit
+def _csr_gather(out_cols, idx4):
+    return jnp.take(out_cols.reshape(-1), idx4, mode="clip")
+
+
+@jax.jit
+def _csr_splice(succ, dst, vals):
+    return succ.at[dst].set(vals, mode="drop", indices_are_sorted=True,
+                            unique_indices=True)
+
+
+def plan_csr_index(prep: PreparedDecode) -> None:
+    """Precompute the device-resident flat-CSR assembly index (one gather
+    per decode afterwards).  Stored on the plan: ``csr_idx4`` (int32[m]
+    tiled-store positions) and, when a hub plan exists, ``csr_hub_dst``
+    (int32[] CSR positions of hub arcs, ascending).
+
+    This is the decode product the analytics layer consumes — the
+    reference's iterators hand successors straight to consumers
+    (HyperBall.java:654-900); here the chunked store flattens to CSR at
+    HBM-gather speed instead of a host roundtrip."""
+    T, V = prep.spec.T, prep.spec.V
+    if T * V * 1024 >= (1 << 31) or prep.m >= (1 << 31):
+        prep.csr_idx4 = None   # int32 gather domain exceeded: host path
+        return
+    cum = prep.cum_arcs
+    starts = prep.chunk_starts[:-1]
+    nc = prep.n_chunk_lanes
+    arc_start = np.zeros(nc + 1, dtype=np.int32)
+    arc_start[:nc] = (cum[starts] - prep.arc_base).astype(np.int32)
+    arc_start[nc] = prep.m
+    halo = prep.halo_arcs.astype(np.int32)
+    prep.csr_idx4 = _csr_index_device(
+        jnp.asarray(arc_start), jnp.asarray(halo), m=prep.m, V=V)
+    hub = prep.hub
+    if hub is not None:
+        cnt = (hub.hb_off[1:] - hub.hb_off[:-1]).astype(np.int32)
+        ccum = np.zeros(len(cnt) + 1, dtype=np.int32)
+        np.cumsum(cnt, out=ccum[1:])
+        first = (cum[hub.nodes] - prep.arc_base).astype(np.int32)
+        prep.csr_hub_dst = _expand_device(
+            jnp.asarray(first), jnp.asarray(ccum), total=int(ccum[-1]))
+
+
+def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
+                  data: Optional[np.ndarray] = None, settings=None):
+    """Full decode to a DEVICE-resident flat CSR successor array.
+
+    Returns (csr_off int64[n+1] host, succ int32[m] device, fill) where
+    ``fill`` is None when every arc decoded on device, else a
+    (bad_lanes_mask, hub_fallback_nodes) pair the caller must patch via
+    ``fill_csr_device`` (host native decode of those ranges).  The timed
+    device step is kernel + hub assembly + one flat gather + one hub
+    splice scatter."""
+    if getattr(prep, "csr_idx4", None) is None:
+        plan_csr_index(prep)
+    if prep.csr_idx4 is None:
+        raise RuntimeError("graph exceeds the int32 device-CSR envelope")
+    first = int(prep.chunk_starts[0])
+    co = prep.cum_arcs[first:] - prep.arc_base
+    if prep.csr_fill_dst is not None:
+        # steady state: error/fill structure is static per graph, so the
+        # whole step is device ops (no diag readback) — kernel + hub
+        # assembly + flat gather + hub/fill splices
+        o, dg, hv = decode_full(prep, interpret=interpret)
+        succ = _csr_gather(o, prep.csr_idx4)
+        if hv is not None:
+            succ = _csr_splice(succ, prep.csr_hub_dst, hv)
+        if prep.csr_fill_dst.size:
+            succ = _csr_splice(succ, prep.csr_fill_dst, prep.csr_fill_val)
+        return co, succ, None
+    o, dg, hv = decode_full(prep, interpret=interpret)
+    succ = _csr_gather(o, prep.csr_idx4)
+    if hv is not None:
+        succ = _csr_splice(succ, prep.csr_hub_dst, hv)
+    errs = check_diag(prep, np.asarray(dg))
+    nc = prep.n_chunk_lanes
+    bad = prep.skipped | (errs[:nc] != 0)
+    fb = hub_fallback_nodes(prep, errs)
+    fill = None
+    if bad.any() or len(fb):
+        fill = (bad, fb)
+        if data is not None:
+            succ = fill_csr_device(prep, succ, bad, fb, data,
+                                   settings or prep._settings)
+            fill = None
+    else:
+        prep.csr_fill_dst = jnp.zeros(0, jnp.int32)
+        prep.csr_fill_val = jnp.zeros(0, jnp.int32)
+    return co, succ, fill
+
+
+def fill_csr_device(prep: PreparedDecode, succ, bad, fb, data, settings):
+    """Patch a device CSR with host-decoded values for skipped/errored
+    lanes (uploads only the affected arc ranges)."""
+    host_vals = np.zeros(prep.m, dtype=np.int64)
+    fill_lanes(prep, bad, host_vals, data, settings, hub_nodes=fb)
+    cum = prep.cum_arcs
+    starts, ends = prep.chunk_starts[:-1], prep.chunk_starts[1:]
+    segs = [(cum[s] - prep.arc_base, cum[e] - prep.arc_base)
+            for s, e in zip(starts[bad], ends[bad])]
+    if len(fb):
+        segs += [(cum[y] - prep.arc_base, cum[y + 1] - prep.arc_base)
+                 for y in fb]
+    segs.sort()
+    idx = np.concatenate([np.arange(a, b, dtype=np.int64)
+                          for a, b in segs]) if segs else np.zeros(0,
+                                                                   np.int64)
+    if len(idx):
+        prep.csr_fill_dst = jnp.asarray(idx.astype(np.int32))
+        prep.csr_fill_val = jnp.asarray(host_vals[idx].astype(np.int32))
+        succ = _csr_splice(succ, prep.csr_fill_dst, prep.csr_fill_val)
+    else:
+        prep.csr_fill_dst = jnp.zeros(0, jnp.int32)
+        prep.csr_fill_val = jnp.zeros(0, jnp.int32)
+    return succ
 
 
 def decode_full(prep: PreparedDecode, interpret: Optional[bool] = None):
