@@ -339,3 +339,23 @@ def test_hyperball_external_register_exact(tmp_path):
     hb3 = algo.HyperBall(g, log2m=4, seed=1)
     hb3.run()
     assert hb3.neighbourhood_function == hb.neighbourhood_function
+
+
+def test_hyperball_device_round_matches_host():
+    """device_round on a device CSR == one dense host-formulated round
+    (decode -> analytics with no host roundtrip)."""
+    import jax.numpy as jnp
+
+    from webgraph_tpu.algo import hyperball as HB
+
+    g = erdos_renyi(200, 0.05, seed=13)
+    csr = g.to_csr()
+    regs = HB.hyperloglog_init(g.num_nodes, 4)
+    src = np.repeat(np.arange(g.num_nodes), np.diff(csr.offsets))
+    exp = np.asarray(HB._hb_round(jnp.asarray(src.astype(np.int32)),
+                                  jnp.asarray(csr.succ.astype(np.int32)),
+                                  jnp.asarray(regs)))
+    got = np.asarray(HB.device_round(csr.offsets,
+                                     jnp.asarray(csr.succ.astype(np.int32)),
+                                     jnp.asarray(regs)))
+    np.testing.assert_array_equal(got, exp)

@@ -105,6 +105,29 @@ def _hb_round(arc_src, arc_tgt, regs):
     return merged
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _arc_src_device(bounds, m: int):
+    """Per-arc source-node ids from CSR offsets, built on device
+    (bounds = csr_off[1:-1] as int32)."""
+    return jnp.cumsum(jnp.zeros((m,), jnp.int32)
+                      .at[bounds].add(1, mode="drop"))
+
+
+def device_round(csr_off: np.ndarray, succ_dev, regs_dev):
+    """One HyperBall iteration consuming a DEVICE-resident CSR — e.g. the
+    product of ``ops.kdecode.decode_to_csr`` — with no host roundtrip
+    (the reference's iteration consumes successors straight off the graph
+    iterator, HyperBall.java:654-900).  Returns the merged registers.
+
+    ``csr_off``: host int64[n+1]; ``succ_dev``: device int32/int64[m];
+    ``regs_dev``: device uint8 (n, 2^log2m) register array."""
+    csr_off = np.asarray(csr_off)
+    m = int(csr_off[-1])
+    bounds = jnp.asarray(csr_off[1:-1].astype(np.int32))
+    src = _arc_src_device(bounds, m)
+    return _hb_round(src, succ_dev, regs_dev)
+
+
 @functools.partial(jax.jit, static_argnames=("num_must",))
 def _hb_round_sparse(seg, tgt, must, regs, num_must):
     """Sparse round: max-merge only the arcs of the must-check nodes.

@@ -875,6 +875,10 @@ class HubPlan:
     # fixpoint
     finalized: bool = True
     cold_compact: Optional[dict] = None
+    # composed-gather source map (cold finalize): final hub position ->
+    # lane-major store source (or >= T*1024*V: index into int_table)
+    src_final: Optional[jnp.ndarray] = None
+    int_table: Optional[jnp.ndarray] = None
 
 
 def _tiled_flat(lane, row, V):
@@ -1801,6 +1805,29 @@ def finalize_hub(prep: PreparedDecode, out_cols) -> None:
     for (d, src, slot) in rounds:
         dst, src2 = _sorted_pair(rank[slot], src)
         hub.cop_rounds.append((d, src2, dst))
+
+    # composed source map: every FINAL hub position's ultimate source as a
+    # lane-major store position (residual segments live in preset lanes of
+    # the store; depth-d copies resolve transitively through the static
+    # maps) or, for interval values, an index past the store into the
+    # static interval-value table.  Lets the CSR assembly fetch hub arcs
+    # in the SAME single gather as everything else — no per-decode hub
+    # assembly pass.
+    Ltot_v = prep.spec.T * 1024 * V
+    src_res_lm = exp(src0_seg + np.int64(hub.seg_lane0) * V, seg_cnt)
+    src_cop0_lm = _expand_device(
+        jnp.asarray(src0_pair[m0].astype(np.int32)), jnp.asarray(c0),
+        total=int(c0[-1]))
+    n_int = int(int_ln.sum())
+    sf = jnp.zeros((M,), jnp.int32)
+    sf = sf.at[rank[slot_res]].set(src_res_lm)
+    sf = sf.at[rank[slot_cop0]].set(src_cop0_lm)
+    sf = sf.at[rank[int_slots]].set(
+        Ltot_v + jnp.arange(n_int, dtype=jnp.int32))
+    for (d, src, slot) in rounds:
+        sf = sf.at[rank[slot]].set(sf[src])
+    hub.src_final = sf
+    hub.int_table = int_vals
     hub.finalized = True
 
 
@@ -2170,19 +2197,40 @@ def _repeat_device(vals, cnt_cum, total: int):
 
 @functools.partial(jax.jit, static_argnames=("m", "V"))
 def _csr_index_device(arc_start, halo, m: int, V: int):
-    """Per-arc tiled-store gather index, built on device from per-lane
+    """Per-arc LANE-MAJOR gather index, built on device from per-lane
     compacts: arc k of chunk lane i lives at row halo_i + (k - arc_start_i)
     of lane i's output column."""
     lane = (jnp.cumsum(jnp.zeros((m,), jnp.int32)
                        .at[arc_start[1:]].add(1, mode="drop")))
     row = halo[lane] + (jnp.arange(m, dtype=jnp.int32) - arc_start[lane])
-    return ((lane >> 10) * (V * 1024) + (row >> 3) * 8192
-            + ((row & 7) << 10) + (lane & 1023))
+    return lane * V + row
 
 
 @jax.jit
-def _csr_gather(out_cols, idx4):
-    return jnp.take(out_cols.reshape(-1), idx4, mode="clip")
+def _untile_store(out_cols):
+    """Tiled (T, V//8, 8, 8, 128) store -> lane-major flat (memory-bandwidth
+    cheap: per-tile transposes under lax.map)."""
+    V8 = out_cols.shape[1]
+
+    def ut(tile):
+        return jnp.transpose(tile.reshape(V8, 8, 1024),
+                             (2, 0, 1)).reshape(1024, V8 * 8)
+
+    return jax.lax.map(ut, out_cols).reshape(-1)
+
+
+@jax.jit
+def _csr_gather(out_cols, idx_lm):
+    return jnp.take(_untile_store(out_cols), idx_lm, mode="clip")
+
+
+@jax.jit
+def _csr_gather_composed(out_cols, idx_lm, int_table):
+    """One gather resolves every arc: chunk arcs + hub residual/copy
+    sources from the lane-major store, hub interval values from the static
+    table appended past it."""
+    src = jnp.concatenate([_untile_store(out_cols), int_table])
+    return jnp.take(src, idx_lm, mode="clip")
 
 
 @jax.jit
@@ -2202,7 +2250,7 @@ def plan_csr_index(prep: PreparedDecode) -> None:
     (HyperBall.java:654-900); here the chunked store flattens to CSR at
     HBM-gather speed instead of a host roundtrip."""
     T, V = prep.spec.T, prep.spec.V
-    if T * V * 1024 >= (1 << 31) or prep.m >= (1 << 31):
+    if T * V * 1024 + (1 << 26) >= (1 << 31) or prep.m >= (1 << 31):
         prep.csr_idx4 = None   # int32 gather domain exceeded: host path
         return
     cum = prep.cum_arcs
@@ -2222,6 +2270,11 @@ def plan_csr_index(prep: PreparedDecode) -> None:
         first = (cum[hub.nodes] - prep.arc_base).astype(np.int32)
         prep.csr_hub_dst = _expand_device(
             jnp.asarray(first), jnp.asarray(ccum), total=int(ccum[-1]))
+        if hub.src_final is not None:
+            # composed: point hub arc positions straight at their ultimate
+            # sources — the CSR gather then needs no hub assembly at all
+            prep.csr_idx4 = (prep.csr_idx4
+                             .at[prep.csr_hub_dst].set(hub.src_final))
 
 
 def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
@@ -2234,27 +2287,45 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
     ``fill_csr_device`` (host native decode of those ranges).  The timed
     device step is kernel + hub assembly + one flat gather + one hub
     splice scatter."""
+    if prep.cold and not prep.resolved:
+        resolve_halos(prep, interpret=interpret)
     if getattr(prep, "csr_idx4", None) is None:
         plan_csr_index(prep)
     if prep.csr_idx4 is None:
         raise RuntimeError("graph exceeds the int32 device-CSR envelope")
     first = int(prep.chunk_starts[0])
     co = prep.cum_arcs[first:] - prep.arc_base
-    if prep.csr_fill_dst is not None:
-        # steady state: error/fill structure is static per graph, so the
-        # whole step is device ops (no diag readback) — kernel + hub
-        # assembly + flat gather + hub/fill splices
-        o, dg, hv = decode_full(prep, interpret=interpret)
+    composed = (prep.hub is not None and prep.hub.src_final is not None)
+
+    def _assemble_csr(o, hv):
+        if composed:
+            return _csr_gather_composed(o, prep.csr_idx4,
+                                        prep.hub.int_table)
         succ = _csr_gather(o, prep.csr_idx4)
         if hv is not None:
             succ = _csr_splice(succ, prep.csr_hub_dst, hv)
+        return succ
+
+    if prep.csr_fill_dst is not None:
+        # steady state: error/fill structure is static per graph, so the
+        # whole step is device ops (no diag readback) — kernel + one flat
+        # gather (+ fill splice); hub arcs ride the same gather when the
+        # composed source map exists (cold plans)
+        if composed:
+            o, dg = decode_chunked(prep, interpret=interpret)
+            hv = None
+        else:
+            o, dg, hv = decode_full(prep, interpret=interpret)
+        succ = _assemble_csr(o, hv)
         if prep.csr_fill_dst.size:
             succ = _csr_splice(succ, prep.csr_fill_dst, prep.csr_fill_val)
         return co, succ, None
-    o, dg, hv = decode_full(prep, interpret=interpret)
-    succ = _csr_gather(o, prep.csr_idx4)
-    if hv is not None:
-        succ = _csr_splice(succ, prep.csr_hub_dst, hv)
+    if composed:
+        o, dg = decode_chunked(prep, interpret=interpret)
+        hv = None
+    else:
+        o, dg, hv = decode_full(prep, interpret=interpret)
+    succ = _assemble_csr(o, hv)
     errs = check_diag(prep, np.asarray(dg))
     nc = prep.n_chunk_lanes
     bad = prep.skipped | (errs[:nc] != 0)
