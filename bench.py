@@ -99,6 +99,7 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None,
     co, succ, fill = K.decode_to_csr(prep, data=data, settings=bv.settings)
     succ.block_until_ready()
     warm_s = time.time() - t0
+    succ = None   # ~4 bytes/arc of HBM; re-produced after timing
     errs = K.check_diag(prep, np.asarray(K.decode_chunked(prep)[1]))
     nc = prep.n_chunk_lanes
     bad = prep.skipped | (errs[:nc] != 0)
@@ -120,7 +121,7 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None,
     # (BVGraph.java:995-1097).  decode_to_csr (timed separately) then
     # materializes the dense CSR with the compaction kernel.
     store_bytes = prep.spec.T * prep.spec.V * 1024 * 4
-    depth = max(1, min(5, int(7e9 // max(store_bytes, 1))))
+    depth = max(1, min(5, int(5e9 // max(store_bytes, 1))))
     _log("pipeline depth", depth)
 
     times = []

@@ -53,22 +53,28 @@ def _make_kernel(WR: int):
     def kernel(st_ref, r0_ref, rr_ref, w0_ref, lm_ref, out_ref,
                win, buf, sem):
         dma = pltpu.make_async_copy(
-            lm_ref.at[pl.ds(w0_ref[0, 0], WR), :], win, sem)
+            lm_ref.at[pl.ds(w0_ref[0, 0, 0], WR), :], win, sem)
         dma.start()
         dma.wait()
         colio = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
         for l in range(SMAX):
-            st = st_ref[0, l]
+            st = st_ref[0, 0, l]
 
             @pl.when(st < SENT)
             def _():
-                r0 = r0_ref[0, l]
-                rr = rr_ref[0, l]
+                r0 = r0_ref[0, 0, l]
+                rr = rr_ref[0, 0, l]
                 srow = st >> 7
                 scol = st & 127
-                d = win[pl.ds(r0, 9), :]
-                r1 = pltpu.roll(d, -rr, axis=1)
+                # 8-aligned 16-row load + sublane rotate (unaligned dynamic
+                # sublane slices and negative dynamic roll shifts fault on
+                # real hardware)
+                r0a = r0 & ~7
+                delta = r0 - r0a
+                d16 = win[pl.ds(r0a, 16), :]
+                d9 = pltpu.roll(d16, 16 - delta, axis=0)[:9]
+                r1 = pltpu.roll(d9, 128 - rr, axis=1)
                 # bjk[i, c] = window[(r0 + i) * 128 + rr + c]
                 bjk = jnp.where(colio < 128 - rr, r1[:8], r1[1:])
                 old = buf[pl.ds(srow, 1), :]
@@ -88,13 +94,15 @@ def _run_compact(st, r0, rr, w0, lm_pad, *, NB: int, WR: int, NR: int,
     # arrays (whole-array scalar prefetch would blow the 1 MB SMEM at web
     # scale; VMEM blocks would need (8,128)-divisible shapes); the window
     # DMA offset comes from the w0 block
-    tab = lambda: pl.BlockSpec((1, SMAX), lambda b: (b, 0),  # noqa: E731
+    # tables are (NB, 1, SMAX): the blocked trailing dims then EQUAL the
+    # array dims, satisfying the Mosaic block-shape rule for any SMAX
+    tab = lambda: pl.BlockSpec((1, 1, SMAX), lambda b: (b, 0, 0),  # noqa: E731,E501
                                memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _make_kernel(WR),
         grid=(NB,),
         in_specs=[tab(), tab(), tab(),
-                  pl.BlockSpec((1, 1), lambda b: (b, 0),
+                  pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((OUTROWS, 128), lambda b: (b, 0)),
@@ -107,7 +115,9 @@ def _run_compact(st, r0, rr, w0, lm_pad, *, NB: int, WR: int, NR: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(st, r0, rr, w0.reshape(-1, 1), lm_pad.reshape(NR, 128))
+    )(st.reshape(NB, 1, SMAX), r0.reshape(NB, 1, SMAX),
+      rr.reshape(NB, 1, SMAX), w0.reshape(NB, 1, 1),
+      lm_pad.reshape(NR, 128))
 
 
 class CompactPlan:
@@ -168,7 +178,7 @@ def plan_compact(arc_start: np.ndarray, src0: np.ndarray,
     # entry index within block + per-block caps
     eib = np.arange(len(blk), dtype=np.int64) - np.searchsorted(
         blk, blk, side="left")
-    span_ok_rows = (r0 + 9).astype(np.int64)
+    span_ok_rows = ((r0 & ~np.int64(7)) + 16).astype(np.int64)
     blk_rows = np.zeros(NB, dtype=np.int64)
     np.maximum.at(blk_rows, blk, span_ok_rows)
     blk_segs = np.bincount(blk, minlength=NB)

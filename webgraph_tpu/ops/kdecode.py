@@ -2240,7 +2240,8 @@ def _csr_splice(succ, dst, vals):
                             unique_indices=True)
 
 
-def plan_csr_index(prep: PreparedDecode) -> None:
+def plan_csr_index(prep: PreparedDecode, force_gather: bool = False
+                   ) -> None:
     """Precompute the device-resident flat-CSR assembly index (one gather
     per decode afterwards).  Stored on the plan: ``csr_idx4`` (int32[m]
     tiled-store positions) and, when a hub plan exists, ``csr_hub_dst``
@@ -2261,8 +2262,18 @@ def plan_csr_index(prep: PreparedDecode) -> None:
     arc_start[:nc] = (cum[starts] - prep.arc_base).astype(np.int32)
     arc_start[nc] = prep.m
     halo = prep.halo_arcs.astype(np.int32)
-    prep.csr_idx4 = _csr_index_device(
-        jnp.asarray(arc_start), jnp.asarray(halo), m=prep.m, V=V)
+    import os as _os
+    want_gather = (force_gather
+                   or _os.environ.get("WG_CSR_ENGINE", "compact")
+                   != "compact")
+    if want_gather:
+        # the per-arc gather index costs 4 bytes/arc of HBM — built only
+        # when the gather engine is requested (the compaction kernel needs
+        # just the compact per-block tables)
+        prep.csr_idx4 = _csr_index_device(
+            jnp.asarray(arc_start), jnp.asarray(halo), m=prep.m, V=V)
+    else:
+        prep.csr_idx4 = True   # marker: planned (compact tables below)
     hub = prep.hub
     if hub is not None:
         cnt = (hub.hb_off[1:] - hub.hb_off[:-1]).astype(np.int32)
@@ -2271,7 +2282,7 @@ def plan_csr_index(prep: PreparedDecode) -> None:
         first = (cum[hub.nodes] - prep.arc_base).astype(np.int32)
         prep.csr_hub_dst = _expand_device(
             jnp.asarray(first), jnp.asarray(ccum), total=int(ccum[-1]))
-        if hub.src_final is not None:
+        if hub.src_final is not None and want_gather:
             # composed: point hub arc positions straight at their ultimate
             # sources — the CSR gather then needs no hub assembly at all
             prep.csr_idx4 = (prep.csr_idx4
@@ -2324,6 +2335,8 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
     engine = _os.environ.get("WG_CSR_ENGINE", "compact")
     cp = getattr(prep, "csr_compact", None)
     use_compact = engine == "compact" and cp is not None
+    if not use_compact and prep.csr_idx4 is True:
+        plan_csr_index(prep, force_gather=True)   # lazy gather index
 
     def _assemble_csr(o, hv):
         if use_compact:
@@ -2355,6 +2368,7 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
         else:
             o, dg, hv = decode_full(prep, interpret=interpret)
         succ = _assemble_csr(o, hv)
+        o = dg = hv = None   # free the store as soon as the flatten reads it
         if prep.csr_fill_dst.size:
             succ = _csr_splice(succ, prep.csr_fill_dst, prep.csr_fill_val)
         return co, succ, None
