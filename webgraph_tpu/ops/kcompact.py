@@ -134,7 +134,11 @@ class CompactPlan:
 
 def plan_compact(arc_start: np.ndarray, src0: np.ndarray,
                  valid: np.ndarray, m: int, store_elems: int,
-                 max_wr: int = 4096) -> Optional[CompactPlan]:
+                 max_wr: int = 320) -> Optional[CompactPlan]:
+    # max_wr bounds EVERY program's window DMA (WR is global): a handful
+    # of wide-span blocks (e.g. chunk runs straddling clusters of skipped
+    # hub lanes) must not force multi-MB windows on the dense majority —
+    # they fall back to the gather instead.  320 rows = 160 KB/program.
     """Build the per-block segment tables.
 
     ``arc_start``: int64[R+1] ascending CSR positions of each run (last =

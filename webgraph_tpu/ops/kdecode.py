@@ -2234,8 +2234,10 @@ def _csr_gather_composed(out_cols, idx_lm, int_table):
     return jnp.take(src, idx_lm, mode="clip")
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _csr_splice(succ, dst, vals):
+    # donated: the splice scatters in place instead of copying the
+    # m-element target (callers always rebind `succ = _csr_splice(succ,..)`)
     return succ.at[dst].set(vals, mode="drop", indices_are_sorted=True,
                             unique_indices=True)
 
