@@ -2321,9 +2321,13 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
     Returns (csr_off int64[n+1] host, succ int32[m] device, fill) where
     ``fill`` is None when every arc decoded on device, else a
     (bad_lanes_mask, hub_fallback_nodes) pair the caller must patch via
-    ``fill_csr_device`` (host native decode of those ranges).  The timed
-    device step is kernel + hub assembly + one flat gather + one hub
-    splice scatter."""
+    ``fill_csr_device`` (host native decode of those ranges).
+
+    Engines (WG_CSR_ENGINE): "compact" (default) flattens with the Pallas
+    ragged-compaction kernel (ops/kcompact) and splices hub/fill
+    positions; "gather" uses the XLA per-arc gather (with the composed
+    hub source map on cold plans).  Steady-state calls are pure device
+    work either way."""
     if prep.cold and not prep.resolved:
         resolve_halos(prep, interpret=interpret)
     if getattr(prep, "csr_idx4", None) is None:
