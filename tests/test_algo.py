@@ -359,3 +359,16 @@ def test_hyperball_device_round_matches_host():
                                      jnp.asarray(csr.succ.astype(np.int32)),
                                      jnp.asarray(regs)))
     np.testing.assert_array_equal(got, exp)
+
+
+def test_packed_centrality_matches_dense(monkeypatch):
+    """The u32-bitmap frontier formulation (large-graph path) must agree
+    with the dense boolean one."""
+    from webgraph_tpu.algo import centrality as C
+
+    g = erdos_renyi(120, 0.05, seed=3)
+    want = algo.harmonic_centrality(g, batch=32)
+    monkeypatch.setattr(C, "DENSE_LIMIT", 1)
+    monkeypatch.setattr(C, "PACKED_CHUNK", 97)  # force multi-chunk buckets
+    got = algo.harmonic_centrality(g, batch=32)
+    np.testing.assert_allclose(got, want)

@@ -169,3 +169,46 @@ def test_integer_list_graph(tmp_path):
     IntegerListImmutableGraph.store(g, base)
     loaded = core.load(base)
     assert loaded.to_csr().equals(g)
+
+
+def test_scattered_streaming_bounded(tmp_path):
+    """Ingestion is memory-bounded: buffered pairs never exceed ~batch_size
+    + one chunk, and the input streams through many small chunks
+    (ScatteredArcsASCIIGraph.java:142-240 bounded-batch contract)."""
+    rng = np.random.default_rng(1)
+    n_arcs = 20000
+    src = rng.integers(0, 1 << 32, n_arcs)
+    tgt = rng.integers(0, 1 << 32, n_arcs)
+    path = tmp_path / "arcs.txt"
+    with open(path, "w") as f:
+        for s, t in zip(src, tgt):
+            f.write(f"{s} {t}\n")
+    batch = 1000
+    g = ScatteredArcsASCIIGraph(str(path), batch_size=batch,
+                                temp_dir=str(tmp_path), chunk_bytes=4096)
+    st = g.ingest_stats
+    # one 4 KiB chunk holds < 400 pairs; buffer is bounded by batch + chunk
+    assert st["max_buffered"] <= batch + 500, st
+    assert st["num_batches"] >= n_arcs // batch - 1, st
+    # equivalence vs the bulk path
+    bg2, ids2 = scattered_arcs_to_batches(src, tgt, temp_dir=str(tmp_path))
+    np.testing.assert_array_equal(g.ids, ids2)
+    got = [(x, succ.tolist()) for x, succ in g.iter_nodes()]
+    want = [(x, succ.tolist()) for x, succ in bg2.iter_nodes()]
+    assert got == want
+    g.batch_graph.cleanup()
+    bg2.cleanup()
+
+
+def test_scattered_native_parser_matches_python(tmp_path):
+    from webgraph_tpu import native
+    if not native.parse_arcs_available():
+        pytest.skip("native lib not built")
+    text = "# c\n10 20\n\n  30\t40 \n-5 6\n"
+    s, t, used = native.parse_arcs(text.encode())
+    assert s.tolist() == [10, 30, -5]
+    assert t.tolist() == [20, 40, 6]
+    assert used == len(text)
+    # chunk protocol: incomplete tail is left unconsumed
+    s, t, used = native.parse_arcs(b"1 2\n3 4", eof=False)
+    assert s.tolist() == [1] and used == 4

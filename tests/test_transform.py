@@ -172,3 +172,28 @@ def test_gray_code_permutation():
     inv[perm] = np.arange(n)
     keys = [gray_key(int(x)) for x in inv]
     assert keys == sorted(keys)
+
+
+def test_batchgraph_mid_stream_split(tmp_path):
+    """iter_nodes(start) positions the k-way merge mid-stream (no replay
+    from node 0) and agrees with a full scan — the copiable-iterator
+    contract of Transform.java:771-789."""
+    from webgraph_tpu.transform.offline import transpose_offline
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 300, 5000)
+    tgt = rng.integers(0, 300, 5000)
+    g = CSRGraph.from_arcs(src, tgt, 300)
+    bt = transpose_offline(g, batch_size=600, temp_dir=str(tmp_path))
+    assert len(bt.batches) > 3
+    full = {x: succ.tolist() for x, succ in bt.iter_nodes()}
+    for start in (0, 1, 137, 299, 300):
+        part = {x: succ.tolist() for x, succ in bt.iter_nodes(start)}
+        assert part == {x: v for x, v in full.items() if x >= start}
+    # split halves re-join to the full graph
+    csr_a = bt.to_csr(0, 150)
+    csr_b = bt.to_csr(150, 300)
+    joined = np.concatenate([csr_a.succ, csr_b.succ])
+    full_csr = bt.to_csr()
+    np.testing.assert_array_equal(joined, full_csr.succ)
+    bt.cleanup()

@@ -4,9 +4,20 @@ Re-design of LinearGeometricCentrality (reference
 LinearGeometricCentrality.java:55-254): centrality(x) = sum over nodes y
 reachable from x of coef[d(x,y)], for a nonnegative coefficient vector.
 The reference runs one independent BFS per node on its own thread; here we
-run *batched multi-source BFS*: a (S, n) boolean frontier matrix advances
-all S sources at once with one edge-parallel relaxation per level — the
-natural device formulation (sources are the reference's "threads").
+run *batched multi-source BFS* — sources are the reference's "threads".
+
+Two device formulations, picked by problem size:
+
+- **dense** (small S*n): a (S, n) boolean frontier matrix advances all S
+  sources at once with one edge-parallel relaxation per level.
+- **packed** (large graphs): frontiers are u32 *bitmaps* (S, ceil(n/32)+1)
+  — 8x smaller and, crucially, never materializing an O(S*n) boolean.
+  Arcs are bucketed by target bit position (tgt & 31) at setup; a bucket's
+  scatter values carry a single common bit, so a scatter-max is exactly a
+  scatter-OR, and the 32 bucket planes OR into the next frontier.  Arc
+  buckets stream in bounded chunks so the gather intermediate is
+  O(S * chunk), not O(S * m).  Newly-visited counts come from
+  population_count on the frontier words.
 
 Presets mirror the reference's coefficient classes (:82+): HARMONIC
 (coef[d] = 1/d), EXPONENTIAL(a) (a^d), POWER_LAW(a) (d^-a), plus CLOSENESS
@@ -27,6 +38,13 @@ from ..core.graph import CSRGraph
 __all__ = ["linear_geometric_centrality", "harmonic_centrality",
            "closeness_centrality"]
 
+# above this S*n the dense (S, n) boolean formulation is refused and the
+# packed bitmap path runs instead
+DENSE_LIMIT = 200_000_000
+# per-dispatch arc-chunk bound for the packed path (gather intermediate is
+# S * chunk u32 elements)
+PACKED_CHUNK = 4_000_000
+
 
 @jax.jit
 def _multi_bfs_round(arc_src, arc_tgt, frontier, visited):
@@ -38,6 +56,76 @@ def _multi_bfs_round(arc_src, arc_tgt, frontier, visited):
     return nxt, visited | nxt
 
 
+@functools.partial(jax.jit, static_argnames=("bshift",), donate_argnums=(0,))
+def _scatter_bucket(plane, frontier, srcw, srcb, tgtw, bshift: int):
+    """Scatter one arc-bucket chunk into the bit-``bshift`` plane: all
+    values share the single bit, so scatter-max == scatter-OR."""
+    words = jnp.take(frontier, srcw, axis=1)              # (S, A)
+    bits = (words >> srcb) & jnp.uint32(1)
+    return plane.at[:, tgtw].max(bits << bshift)
+
+
+@jax.jit
+def _advance_packed(nxt, visited):
+    """Close a level: drop seen bits, zero the scratch word, count news."""
+    nxt = (nxt & ~visited).at[:, -1].set(0)
+    cnt = jnp.sum(jax.lax.population_count(nxt), axis=1)
+    return nxt, visited | nxt, cnt
+
+
+def _packed_centrality(g: CSRGraph, coef, sources, batch, max_dist):
+    n = g.num_nodes
+    W = (n + 31) // 32
+    src, tgt = g.arcs()
+    src = np.asarray(src, dtype=np.int64)
+    tgt = np.asarray(tgt, dtype=np.int64)
+    # bucket arcs by target bit position; upload per-bucket chunk arrays
+    # once (they are level-invariant)
+    order = np.argsort(tgt & 31, kind="stable")
+    src, tgt = src[order], tgt[order]
+    bcounts = np.bincount(tgt & 31, minlength=32)
+    bstart = np.concatenate([[0], np.cumsum(bcounts)])
+    chunks = []  # (bshift, srcw, srcb, tgtw) device arrays
+    for b in range(32):
+        for lo in range(bstart[b], bstart[b + 1], PACKED_CHUNK):
+            hi = min(lo + PACKED_CHUNK, bstart[b + 1])
+            s, t = src[lo:hi], tgt[lo:hi]
+            chunks.append((b,
+                           jnp.asarray(s >> 5, dtype=jnp.int32),
+                           jnp.asarray(s & 31, dtype=jnp.uint32),
+                           jnp.asarray(t >> 5, dtype=jnp.int32)))
+    out = np.zeros(len(sources))
+    for lo in range(0, len(sources), batch):
+        batch_sources = sources[lo:lo + batch]
+        S = len(batch_sources)
+        init = np.zeros((S, W + 1), dtype=np.uint32)  # [-1] is scratch
+        init[np.arange(S), batch_sources >> 5] = \
+            np.uint32(1) << (batch_sources & 31).astype(np.uint32)
+        frontier = jnp.asarray(init)
+        visited = frontier
+        acc = np.zeros(S)
+        d = 0
+        while d < max_dist:
+            nxt = jnp.zeros((S, W + 1), dtype=jnp.uint32)
+            by_bit = {}
+            for b, srcw, srcb, tgtw in chunks:
+                plane = by_bit.get(b)
+                if plane is None:
+                    plane = jnp.zeros((S, W + 1), dtype=jnp.uint32)
+                by_bit[b] = _scatter_bucket(plane, frontier, srcw, srcb,
+                                            tgtw, b)
+            for plane in by_bit.values():
+                nxt = nxt | plane
+            frontier, visited, cnt = _advance_packed(nxt, visited)
+            d += 1
+            cnt = np.asarray(cnt)
+            if not cnt.any():
+                break
+            acc += coef(d) * cnt
+        out[lo:lo + S] = acc
+    return out
+
+
 def linear_geometric_centrality(
         g: CSRGraph, coef: Callable[[int], float],
         sources: Optional[np.ndarray] = None,
@@ -46,12 +134,15 @@ def linear_geometric_centrality(
     n = g.num_nodes
     if sources is None:
         sources = np.arange(n, dtype=np.int64)
+    sources = np.asarray(sources, dtype=np.int64)
+    if max_dist is None:
+        max_dist = n
+    if min(batch, len(sources)) * max(n, 1) > DENSE_LIMIT:
+        return _packed_centrality(g, coef, sources, batch, max_dist)
     src, tgt = g.arcs()
     src_d = jnp.asarray(src, dtype=jnp.int32)
     tgt_d = jnp.asarray(tgt, dtype=jnp.int32)
     out = np.zeros(len(sources))
-    if max_dist is None:
-        max_dist = n
     for lo in range(0, len(sources), batch):
         batch_sources = sources[lo:lo + batch]
         S = len(batch_sources)

@@ -28,15 +28,38 @@ SUBGRAPHNODES_EXTENSION = ".subgraphnodes"
 
 
 def induced_subgraph(g: ImmutableGraph, nodes: np.ndarray) -> CSRGraph:
-    """Materialized induced subgraph with nodes renumbered 0..k-1."""
-    nodes = np.asarray(sorted(set(int(x) for x in np.asarray(nodes))),
-                       dtype=np.int64)
-    remap = {int(x): i for i, x in enumerate(nodes)}
+    """Materialized induced subgraph with nodes renumbered 0..k-1.
+
+    Fully vectorized over CSR-backed graphs (one gather + one searchsorted
+    membership test over the subset's arcs); other graphs fall back to a
+    per-node scan whose membership test is still a vectorized searchsorted
+    (no per-arc Python)."""
+    nodes = np.unique(np.asarray(nodes, dtype=np.int64))
+    k = len(nodes)
+    if isinstance(g, CSRGraph):
+        off = np.asarray(g.offsets, dtype=np.int64)
+        succ = np.asarray(g.succ, dtype=np.int64)
+        cnt = off[nodes + 1] - off[nodes]
+        tot = int(cnt.sum())
+        idx = (np.repeat(off[nodes], cnt)
+               + np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        sup = succ[idx]
+        pos = np.searchsorted(nodes, sup)
+        posc = np.minimum(pos, k - 1) if k else pos
+        keep = (pos < k) & (nodes[posc] == sup) if k else pos < k
+        row = np.repeat(np.arange(k, dtype=np.int64), cnt)[keep]
+        new_off = np.zeros(k + 1, dtype=np.int64)
+        new_off[1:] = np.bincount(row, minlength=k)
+        np.cumsum(new_off, out=new_off)
+        return CSRGraph(new_off, pos[keep].astype(np.int64), num_nodes=k)
     lists = []
     for x in nodes.tolist():
-        succ = g.successors(x)
-        kept = [remap[t] for t in succ.tolist() if t in remap]
-        lists.append(np.asarray(kept, dtype=np.int64))
+        sup = np.asarray(g.successors(x), dtype=np.int64)
+        pos = np.searchsorted(nodes, sup)
+        posc = np.minimum(pos, k - 1) if k else pos
+        keep = (pos < k) & (nodes[posc] == sup) if k else pos < k
+        lists.append(pos[keep].astype(np.int64))
     return CSRGraph.from_lists(lists)
 
 

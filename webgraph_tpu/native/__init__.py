@@ -47,6 +47,8 @@ def _load():
             lib.wg_select_refs.restype = ctypes.c_int64
         if hasattr(lib, "wg_bv_scan_refs"):
             lib.wg_bv_scan_refs.restype = ctypes.c_int64
+        if hasattr(lib, "wg_parse_arcs"):
+            lib.wg_parse_arcs.restype = ctypes.c_int64
         _lib = lib
     return _lib
 
@@ -100,6 +102,33 @@ def decode_outdegrees(data: np.ndarray, offsets: np.ndarray,
         ctypes.c_int(coding), _ptr(out, ctypes.c_int64))
     assert rc == 0
     return out
+
+
+def parse_arcs_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "wg_parse_arcs")
+
+
+def parse_arcs(buf: bytes, eof: bool = True) -> tuple:
+    """Parse "<src> <tgt>" text lines -> (src int64[k], tgt int64[k],
+    bytes_consumed).  Blank/'#' lines skipped; unless ``eof``, a trailing
+    incomplete line is left unconsumed (streaming chunk protocol)."""
+    lib = _load()
+    data = np.frombuffer(buf, dtype=np.uint8)
+    # every pair needs >= 3 bytes ("a b\n")
+    cap = max(len(data) // 3 + 1, 16)
+    src = np.empty(cap, dtype=np.int64)
+    tgt = np.empty(cap, dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    rc = lib.wg_parse_arcs(
+        _ptr(data), ctypes.c_int64(len(data)), ctypes.c_int(1 if eof else 0),
+        _ptr(src, ctypes.c_int64), _ptr(tgt, ctypes.c_int64),
+        ctypes.c_int64(cap), ctypes.byref(consumed))
+    if rc < 0:
+        off = int(-rc - 1)
+        snippet = buf[off:off + 40].split(b"\n", 1)[0]
+        raise ValueError(f"malformed arc line at byte {off}: {snippet!r}")
+    return src[:rc].copy(), tgt[:rc].copy(), int(consumed.value)
 
 
 def bv_decode_all(data: np.ndarray, n: int, m: int, settings) -> tuple:

@@ -42,18 +42,23 @@ def process_batch(src: np.ndarray, tgt: np.ndarray, temp_dir: str,
         keep = np.concatenate(
             [[True], (src[1:] != src[:-1]) | (tgt[1:] != tgt[:-1])])
         src, tgt = src[keep], tgt[keep]
-    fd, path = tempfile.mkstemp(suffix=".batch.npz", dir=temp_dir)
+    fd, path = tempfile.mkstemp(suffix=".batch.npy", dir=temp_dir)
     os.close(fd)
-    # delta-compress: sources are nondecreasing
-    sdelta = np.diff(src, prepend=0)
-    np.savez(path, s=sdelta.astype(np.int64), t=tgt.astype(np.int64))
+    # plain (2, k) int64 .npy so merges can mmap it: the k-way merge then
+    # streams every batch through the page cache instead of materializing
+    # all batches in RAM (the reference streams its batch files through
+    # small input-bit-stream buffers, Transform.java:709-780)
+    arr = np.empty((2, len(src)), dtype=np.int64)
+    arr[0] = src
+    arr[1] = tgt
+    np.save(path, arr)
     batches.append(path)
     return len(src)
 
 
 def _load_batch(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    z = np.load(path)
-    return np.cumsum(z["s"]), z["t"]
+    arr = np.load(path, mmap_mode="r")
+    return arr[0], arr[1]
 
 
 class BatchGraph(ImmutableGraph):
@@ -83,13 +88,21 @@ class BatchGraph(ImmutableGraph):
         raise RuntimeError("BatchGraph is sequential-only")
 
     def iter_nodes(self, start: int = 0) -> Iterator[Tuple[int, np.ndarray]]:
+        """Merge-iterate from ``start``.  Positioning is O(log) per batch
+        (binary search on the sorted source column), NOT a replay from node
+        0 — the copiable-iterator contract that lets a multithreaded store
+        split the k-way merge at arbitrary node bounds exactly like the
+        reference re-opens its batch files per split (Transform.java
+        :771-789, NodeIterator.copy(upperBound))."""
         streams = [_load_batch(p) for p in self.batches]
-        # per-batch cursor into its sorted (src, tgt) arrays
-        cursors = [0] * len(streams)
+        # per-batch cursor into its sorted (src, tgt) arrays, positioned at
+        # the first pair with source >= start
+        cursors = [int(np.searchsorted(s, start)) for s, _ in streams]
         heap = []
         for bi, (s, t) in enumerate(streams):
-            if len(s):
-                heapq.heappush(heap, (int(s[0]), bi))
+            c = cursors[bi]
+            if c < len(s):
+                heapq.heappush(heap, (int(s[c]), bi))
         empty = np.zeros(0, dtype=np.int64)
         for x in range(start, self._n):
             if not heap or heap[0][0] != x:
