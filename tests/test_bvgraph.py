@@ -221,3 +221,20 @@ def test_cnr2000_full_roundtrip_bit_identical(cnr2000_basename, tmp_path):
         ref = hashlib.md5(open(cnr2000_basename + ext, "rb").read()).hexdigest()
         assert got == ref, f"{ext} differs"
     assert abs(float(props["bitsperlink"]) - 3.56) < 0.01
+
+
+def test_foreign_obl_cache_ignored(tmp_path, cnr2000_basename):
+    """A Java-serialized (or otherwise foreign) .obl must be ignored and the
+    index regenerated from .offsets (PARITY.md deviation note; the reference
+    trusts only its own serialization, BVGraph.java:1545-1555)."""
+    import shutil
+
+    for ext in (".graph", ".offsets", ".properties"):
+        shutil.copy(cnr2000_basename + ext, str(tmp_path / ("g" + ext)))
+    base = str(tmp_path / "g")
+    want = BVGraph.load(base).offsets
+    # Java serialization stream header AC ED 00 05 + junk
+    with open(base + ".obl", "wb") as f:
+        f.write(b"\xac\xed\x00\x05" + b"\x00" * 64)
+    got = BVGraph.load(base)
+    np.testing.assert_array_equal(np.asarray(got.offsets), np.asarray(want))

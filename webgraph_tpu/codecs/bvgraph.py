@@ -374,11 +374,18 @@ class BVGraph(ImmutableGraph):
         if os.path.exists(obl) and (not os.path.exists(offs)
                                     or os.path.getmtime(obl)
                                     >= os.path.getmtime(offs)):
-            ef = EliasFanoMonotoneList.load(obl)
-            if len(ef) != self._n + 1:
-                raise IOError(f"{obl}: stale cache ({len(ef)} entries for "
-                              f"{self._n} nodes)")
-            return ef if rep == "ef" else ef.to_array()
+            try:
+                ef = EliasFanoMonotoneList.load(obl)
+                if len(ef) != self._n + 1:
+                    raise IOError(f"{obl}: stale cache ({len(ef)} entries "
+                                  f"for {self._n} nodes)")
+                return ef if rep == "ef" else ef.to_array()
+            except IOError:
+                # foreign (e.g. Java-serialized, BVGraph.java:1545-1555) or
+                # stale cache: fall back to the .offsets stream when
+                # available — the cache is derived data (see PARITY.md)
+                if not os.path.exists(offs):
+                    raise
         arr = self._load_offsets(basename)
         return build_ef(arr) if rep == "ef" else arr
 
