@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ef_decode_to_csr"]
+__all__ = ["ef_decode_to_csr", "EFDevicePlan"]
 
 
 def _clz(v_u32):
@@ -97,36 +97,22 @@ def _ef_params(d, upper_bound, log2_quantum):
     return l, psize, npointers
 
 
-def ef_decode_to_csr(words64: np.ndarray, offsets: np.ndarray,
-                     upper_bound: int, log2_quantum: int
-                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode a whole EFGraph: uint64 words + per-node bit offsets -> CSR."""
-    # uint64 LSB-first longwords -> uint32 little-halves: stream bit p is
-    # bit (p % 32) of words32[p // 32]
-    words32 = np.ascontiguousarray(words64, dtype=np.uint64).view("<u4")
-    words32 = np.concatenate([words32.astype(np.uint32),
-                              np.zeros(16, dtype=np.uint32)])
-    words = jnp.asarray(words32)
-    offsets = np.asarray(offsets, dtype=np.int64)
-    n = len(offsets) - 1
-    assert offsets[-1] < 2**31, "chunk the stream beyond 2^31 bits"
+@functools.partial(jax.jit, static_argnames=("m", "n", "total_bits",
+                                             "log2_quantum"))
+def _ef_decode_device(words, starts, up_end, upper_bound,
+                      m: int, n: int, total_bits: int, log2_quantum: int):
+    """The whole-graph decode as ONE device program (no host roundtrip:
+    outdegrees, CSR offsets, per-arc rows and values are all derived on
+    device — the tunnel ships nothing per decode)."""
+    d64, adv = _lsb_read_gamma(words, starts)
+    d = d64.astype(jnp.int32)
+    l, psize, npointers = _ef_params(d64, upper_bound, log2_quantum)
 
-    starts = jnp.asarray(offsets[:-1], dtype=jnp.int32)
-    d, adv = _lsb_read_gamma(words, starts)
-    d = d.astype(jnp.int64)
-    l, psize, npointers = _ef_params(d, jnp.int64(upper_bound), log2_quantum)
+    csr_off = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(d)])
 
-    d_np = np.asarray(d)
-    csr_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(d_np, out=csr_off[1:])
-    m = int(csr_off[-1])
-
-    ptr_base = starts + np.asarray(adv, dtype=np.int32)
+    ptr_base = starts + adv.astype(jnp.int32)
     low_base = ptr_base + (npointers * psize).astype(jnp.int32)
     up_base = low_base + ((d + 1) * l).astype(jnp.int32)
-    up_end = jnp.asarray(offsets[1:], dtype=jnp.int32)
-
-    total_bits = int(words32.shape[0] - 16) * 32
 
     # ---- select-by-cumsum over the masked upper-bits regions ----
     bits = ((words[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
@@ -137,23 +123,69 @@ def ef_decode_to_csr(words64: np.ndarray, offsets: np.ndarray,
     in_upper = jnp.cumsum(delta[:total_bits]) > 0
     ones = jnp.where(in_upper, bits, 0)
     rank_excl = jnp.cumsum(ones) - ones  # rank of position (exclusive)
-    total_ones = m + n  # d+1 ones per node, minus the n sentinels... = m+n
+    total_ones = m + n  # d+1 ones per node => sum(d) + n
     pos_of_rank = jnp.zeros(total_ones + 1, dtype=jnp.int32)
     pos_idx = jnp.where(ones > 0, rank_excl, total_ones)
     pos_of_rank = pos_of_rank.at[pos_idx].max(
         jnp.arange(total_bits, dtype=jnp.int32), mode="drop")
 
-    # ---- per-arc assembly ----
-    row = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32), d_np))
-    j_local = (jnp.arange(m, dtype=jnp.int64)
-               - jnp.take(jnp.asarray(csr_off), row))
+    # ---- per-arc assembly (row ids from the CSR bounds, on device) ----
+    row = jnp.cumsum(jnp.zeros((m,), jnp.int32)
+                     .at[csr_off[1:-1]].add(1, mode="drop"))
+    j_local = jnp.arange(m, dtype=jnp.int32) - jnp.take(csr_off, row)
     rank0 = jnp.take(rank_excl, jnp.take(up_base, row))
-    one_pos = jnp.take(pos_of_rank, (rank0 + j_local).astype(jnp.int32))
-    upper = (one_pos - jnp.take(up_base, row)).astype(jnp.int64) - j_local
+    one_pos = jnp.take(pos_of_rank, rank0 + j_local)
+    upper = one_pos - jnp.take(up_base, row) - j_local
     lx = jnp.take(l, row)
     low = _lsb_extract(
-        words,
-        jnp.take(low_base, row) + (j_local * lx).astype(jnp.int32),
-        lx).astype(jnp.int64)
-    vals = (upper << lx.astype(jnp.int64)) | low
-    return csr_off, np.asarray(vals, dtype=np.int64)
+        words, jnp.take(low_base, row) + j_local * lx, lx)
+    # int32 value lanes (values < upper_bound < 2^31; the EFGraph loader
+    # gates bigger graphs to the host path)
+    vals = ((upper.astype(jnp.uint32) << lx.astype(jnp.uint32)) | low)
+    return csr_off, vals.astype(jnp.int32)
+
+
+class EFDevicePlan:
+    """Device-resident EF decode plan: the stream uploads ONCE; every
+    decode after that is a single jitted dispatch returning device arrays
+    (the tunnel-bound per-call host interleave was 1000x slower than the
+    program itself, docs/TPU_RUNTIME_NOTES.md round-4 findings)."""
+
+    def __init__(self, words64: np.ndarray, offsets: np.ndarray,
+                 upper_bound: int, log2_quantum: int):
+        words32 = np.ascontiguousarray(words64, dtype=np.uint64).view("<u4")
+        words32 = np.concatenate([words32.astype(np.uint32),
+                                  np.zeros(16, dtype=np.uint32)])
+        offsets = np.asarray(offsets, dtype=np.int64)
+        assert offsets[-1] < 2**31, "chunk the stream beyond 2^31 bits"
+        self.n = len(offsets) - 1
+        self.total_bits = int(words32.shape[0] - 16) * 32
+        self.upper_bound = int(upper_bound)
+        self.log2_quantum = int(log2_quantum)
+        self.words = jnp.asarray(words32)
+        self.starts = jnp.asarray(offsets[:-1], dtype=jnp.int32)
+        self.up_end = jnp.asarray(offsets[1:], dtype=jnp.int32)
+        # one tiny plan-time readback: the arc count sizes the program
+        d, _ = _lsb_read_gamma(self.words, self.starts)
+        d_np = np.asarray(d, dtype=np.int64)
+        self.csr_off = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(d_np, out=self.csr_off[1:])
+        self.m = int(self.csr_off[-1])
+
+    def decode(self):
+        """One dispatch -> (csr_off int32[n+1] device, succ int32[m]
+        device)."""
+        return _ef_decode_device(
+            self.words, self.starts, self.up_end,
+            jnp.int64(self.upper_bound), m=self.m, n=self.n,
+            total_bits=self.total_bits, log2_quantum=self.log2_quantum)
+
+
+def ef_decode_to_csr(words64: np.ndarray, offsets: np.ndarray,
+                     upper_bound: int, log2_quantum: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a whole EFGraph: uint64 words + per-node bit offsets -> CSR
+    (host arrays; one-shot convenience over :class:`EFDevicePlan`)."""
+    plan = EFDevicePlan(words64, offsets, upper_bound, log2_quantum)
+    _, vals = plan.decode()
+    return plan.csr_off, np.asarray(vals, dtype=np.int64)

@@ -101,6 +101,20 @@ class KernelSpec:
     # second read_code costs ~5% of a step; residual runs dominate arcs on
     # real graphs, so this approaches 2 arcs/step on them.
     res_burst: int = 1
+    # output flush strategy: "rmw" = masked select read-modify-write over
+    # all V8 groups (original); "mstore" = masked write-only store
+    # (pltpu.store with mask) — same layout, no read traffic
+    flush_mode: str = "mstore"
+    # TIMING PROBE ONLY: restrict the out_read copy-head sweep to the
+    # first N groups (values beyond are wrong — decode output is garbage).
+    # 0 = full V8 sweep (correct).  Used to size the sweep cost on real
+    # hardware before the ring-mirror redesign.
+    read_groups: int = 0
+    # header fusion: chain a SECOND header code read per step (the state
+    # just entered), sharing the read slot with the EMIT residual burst.
+    # Per-node header cost (outd/ref/blocks/intervals/resf) halves; every
+    # masked sweep in the body is per-step, so fewer steps is the lever.
+    hdr_fuse: int = 1
 
     def supported(self) -> bool:
         ks = {self.outdegree_coding, self.reference_coding,
@@ -203,17 +217,20 @@ def _make_kernel(spec: KernelSpec):
             burst emission."""
             gsel = row >> 3
             jsel = row & 7
-            m_g = rows_G == jnp.where(en, gsel, -1)[None]
+            RG = spec.read_groups or V8
+            m_g = rows_G[:RG] == jnp.where(en, gsel, -1)[None]
             bsel = gsel & 1
             gv = []
             v = jnp.zeros((8, 128), jnp.int32)
             for j in range(8):
-                vb = jnp.sum(jnp.where(m_g, out_ref[:, j], 0), axis=0)
+                vb = jnp.sum(jnp.where(m_g, out_ref[:RG, j], 0), axis=0)
                 vs = jnp.where(bsel == 0, stw[j], stw[8 + j])
                 vj = jnp.where(en & (gsel * 8 + j < fw), vb, vs)
                 gv.append(vj)
                 v = jnp.where(jsel == j, vj, v)
             return v, gv
+
+        mstore = spec.flush_mode == "mstore"
 
         def out_flush(stw, wcur, g0):
             """Flush both stage banks' groups into the grouped buffer.
@@ -227,22 +244,32 @@ def _make_kernel(spec: KernelSpec):
                 gb = jnp.where(gb >= g0, gb, -1)
                 m = rows_G == gb[None]  # one compare shared by all 8 lanes
                 for j in range(8):
-                    out_ref[:, j] = jnp.where(m, stw[b * 8 + j][None],
-                                              out_ref[:, j])
+                    v = jnp.broadcast_to(stw[b * 8 + j][None], (V8, 8, 128))
+                    if mstore:
+                        pltpu.store(out_ref.at[:, j], v, mask=m)
+                    else:
+                        out_ref[:, j] = jnp.where(m, v, out_ref[:, j])
 
         def out_flush1(stw, wcur, g0):
             """Steady-state flush: write the single most recently COMPLETED
             group (the flush cadence bounds advancement to <= 8 rows, so at
             most one group completes per interval; the partial group stays
             in the stage banks and the watermark stays group-aligned).
-            Half the read-modify-write cost of the two-group tail flush."""
+
+            flush_mode "mstore" issues a masked write-only store (no read
+            of the V8-group column); "rmw" is the original masked select
+            read-modify-write."""
             gb = (wcur >> 3) - 1
             gb = jnp.where(gb >= g0, gb, -1)
             m = rows_G == gb[None]
             bsel = gb & 1
             for j in range(8):
                 v = jnp.where(bsel == 0, stw[j], stw[8 + j])
-                out_ref[:, j] = jnp.where(m, v[None], out_ref[:, j])
+                vb = jnp.broadcast_to(v[None], (V8, 8, 128))
+                if mstore:
+                    pltpu.store(out_ref.at[:, j], vb, mask=m)
+                else:
+                    out_ref[:, j] = jnp.where(m, vb, out_ref[:, j])
 
         def buf_pair_read(buf, rows_iota, r0, r1, en):
             """Read buf[r0], buf[r1] per lane in one sweep."""
@@ -464,7 +491,161 @@ def _make_kernel(spec: KernelSpec):
                 cnt_c = jnp.where(win_c, 1, 0)
                 cnt = jnp.where(emit_en, 1, 0)
 
-            # -- shared code read
+            # -- header transition round: applied once per chained header
+            # code read.  Fusing two reads per step halves the per-node
+            # header state cost (outdegree -> reference -> blocks ->
+            # intervals -> first residual, BVGraph.java:995-1090), which
+            # dominates steps on short-list graphs; every masked sweep in
+            # the body is per-STEP, so fewer steps is the big lever.
+            x = g["x"]
+
+            def header_round(H, mcan, st_in, value, vi):
+                m_outd = mcan & (st_in == ST_OUTD)
+                m_ref = mcan & (st_in == ST_REF)
+                m_bc = mcan & (st_in == ST_BC)
+                m_blk = mcan & (st_in == ST_BLK)
+                m_icnt = mcan & (st_in == ST_ICNT)
+                m_ileft = mcan & (st_in == ST_ILEFT)
+                m_ilen = mcan & (st_in == ST_ILEN)
+                m_resf = mcan & (st_in == ST_RESF)
+                err = H["err"]
+                nst = st_in
+                d = H["d"]
+                ref = H["ref"]
+                cop = H["cop"]
+                extra = H["extra"]
+
+                # ST_OUTD: outdegree
+                d = jnp.where(m_outd, vi, d)
+                H["done_d0"] = H["done_d0"] | (m_outd & (d == 0))
+                go_ref = m_outd & (d > 0)
+                if W > 0:
+                    nst = jnp.where(go_ref, ST_REF, nst)
+                    setup = jnp.zeros_like(m_outd)
+                else:
+                    setup = go_ref
+                    cop = jnp.where(go_ref, 0, cop)
+                    ref = jnp.where(go_ref, 0, ref)
+
+                # ST_REF: reference
+                if W > 0:
+                    ref = jnp.where(m_ref, vi, ref)
+                    has_ref = m_ref & (ref > 0)
+                    slot = jnp.where(has_ref, (x - ref) % CYC, 0)
+                    wd, wr = win_read(slot, has_ref)
+                    H["ref_len"] = jnp.where(has_ref, wd, H["ref_len"])
+                    H["ref_row"] = jnp.where(has_ref, wr, H["ref_row"])
+                    nst = jnp.where(has_ref, ST_BC, nst)
+                    setup = setup | (m_ref & (ref == 0))
+                    cop = jnp.where(m_ref, 0, cop)
+
+                # ST_BC / ST_BLK: copy blocks
+                bc = H["bc"]
+                if W > 0:
+                    blk_i = H["blk_i"]
+                    blk_tot = H["blk_tot"]
+                    blk_cop = H["blk_cop"]
+                    bc = jnp.where(m_bc, vi, bc)
+                    err = err | jnp.where(m_bc & (bc > BMAX), E_BLK_OVF, 0)
+                    bc = jnp.where(m_bc, jnp.minimum(bc, BMAX), bc)
+                    blk_i = jnp.where(m_bc, 0, blk_i)
+                    blk_tot = jnp.where(m_bc, 0, blk_tot)
+                    blk_cop = jnp.where(m_bc, 0, blk_cop)
+                    fin_bc0 = m_bc & (bc == 0)
+                    # bc == 0 (even): whole reference list copied
+                    cop = jnp.where(fin_bc0, H["ref_len"], cop)
+                    setup = setup | fin_bc0
+                    nst = jnp.where(m_bc & (bc > 0), ST_BLK, nst)
+
+                    # one block per round; wire value +1 except the first
+                    # (BVGraph.java:1025, :2076)
+                    bval = jnp.where(blk_i == 0, vi, vi + 1)
+                    blk_wm = (rows_B == jnp.where(m_blk, blk_i, -1)[None])
+                    blkbuf[:] = jnp.where(blk_wm, bval[None], blkbuf[:])
+                    H["blk0"] = jnp.where(m_blk & (blk_i == 0), bval,
+                                          H["blk0"])
+                    blk_tot = jnp.where(m_blk, blk_tot + bval, blk_tot)
+                    blk_cop = jnp.where(m_blk & (blk_i % 2 == 0),
+                                        blk_cop + bval, blk_cop)
+                    blk_i = jnp.where(m_blk, blk_i + 1, blk_i)
+                    fin_blk = m_blk & (blk_i == bc)
+                    # even block count: implicit tail copy (BVGraph.java:1030)
+                    cop = jnp.where(
+                        fin_blk,
+                        blk_cop + jnp.where(bc % 2 == 0,
+                                            H["ref_len"] - blk_tot, 0),
+                        cop)
+                    setup = setup | fin_blk
+                    H["blk_i"] = blk_i
+                    H["blk_tot"] = blk_tot
+                    H["blk_cop"] = blk_cop
+
+                # setup_extra: route to intervals / residuals / emit
+                extra = jnp.where(setup, d - cop, extra)
+                err = err | jnp.where(setup & (extra < 0), E_COUNT, 0)
+                init_emit = jnp.zeros_like(setup)
+                icnt = jnp.where(setup, 0, H["icnt"])
+                if MININT:
+                    to_icnt = setup & (extra > 0)
+                    nst = jnp.where(to_icnt, ST_ICNT, nst)
+                    to_resf0 = jnp.zeros_like(setup)
+                else:
+                    to_resf0 = setup & (extra > 0)
+                init_emit = init_emit | (setup & (extra == 0))
+
+                # ST_ICNT / ST_ILEFT / ST_ILEN: intervals
+                if MININT:
+                    i_idx = H["i_idx"]
+                    iprev = H["iprev"]
+                    ileft = H["ileft"]
+                    icnt = jnp.where(m_icnt, vi, icnt)
+                    err = err | jnp.where(m_icnt & (icnt > IMAX),
+                                          E_INT_OVF, 0)
+                    icnt = jnp.where(m_icnt, jnp.minimum(icnt, IMAX), icnt)
+                    i_idx = jnp.where(m_icnt, 0, i_idx)
+                    nst = jnp.where(m_icnt & (icnt > 0), ST_ILEFT, nst)
+                    to_resf0 = to_resf0 | (m_icnt & (icnt == 0))
+
+                    # left extreme: first int2nat(gamma)+x, later gap+prev+1
+                    # (BVGraph.java:1040-1059)
+                    lf = jnp.where(i_idx == 0, nat2int(value) + x,
+                                   vi + iprev + 1)
+                    ileft = jnp.where(m_ileft, lf, ileft)
+                    nst = jnp.where(m_ileft, ST_ILEN, nst)
+
+                    ln = vi + MININT
+                    iw = (rows_I == jnp.where(m_ilen, i_idx, -1)[None])
+                    intbufL[:] = jnp.where(iw, ileft[None], intbufL[:])
+                    intbufN[:] = jnp.where(iw, ln[None], intbufN[:])
+                    iprev = jnp.where(m_ilen, ileft + ln, iprev)
+                    extra = jnp.where(m_ilen, extra - ln, extra)
+                    err = err | jnp.where(m_ilen & (extra < 0), E_COUNT, 0)
+                    i_idx = jnp.where(m_ilen, i_idx + 1, i_idx)
+                    fin_int = m_ilen & (i_idx == icnt)
+                    nst = jnp.where(m_ilen & ~fin_int, ST_ILEFT, nst)
+                    to_resf = to_resf0 | (fin_int & (extra > 0))
+                    init_emit = init_emit | (fin_int & (extra <= 0))
+                    H["i_idx"] = i_idx
+                    H["iprev"] = iprev
+                    H["ileft"] = ileft
+                else:
+                    to_resf = to_resf0
+
+                nst = jnp.where(to_resf, ST_RESF, nst)
+
+                # ST_RESF: first residual
+                H["r_val"] = jnp.where(m_resf, nat2int(value) + x,
+                                       H["r_val"])
+                H["r_rem"] = jnp.where(m_resf, extra,
+                                       jnp.where(init_emit, 0, H["r_rem"]))
+                init_emit = init_emit | m_resf
+                nst = jnp.where(init_emit, ST_EMIT, nst)
+                H.update(d=d, ref=ref, cop=cop, extra=extra, bc=bc,
+                         icnt=icnt, err=err,
+                         init_emit=H["init_emit"] | init_emit)
+                return nst
+
+            # -- shared code read (slot 1: header state or EMIT residual)
             kind = zi
             for mm, kk in ((m_outd, state_kind[ST_OUTD]),
                            (m_ref, state_kind[ST_REF]),
@@ -492,144 +673,71 @@ def _make_kernel(spec: KernelSpec):
                 lim_r = jnp.minimum(cval, ival)
                 emit2 = read_res & (rv1 < lim_r) & (avail - adv >= 64)
                 read2 = emit2 & (g["r_rem"] > 2)
+            can2 = can & (avail - adv >= 64)
             b0, b1, b2, avail = consume(b0, b1, b2, avail, adv)
+
+            H = dict(
+                d=g["d"], ref=g["ref"], cop=g["cop"], extra=g["extra"],
+                bc=g["bc"], blk_i=g["blk_i"], blk_tot=g["blk_tot"],
+                blk_cop=g["blk_cop"], blk0=g["blk0"], icnt=g["icnt"],
+                i_idx=g["i_idx"], iprev=g["iprev"], ileft=g["ileft"],
+                ref_len=g["ref_len"], ref_row=g["ref_row"],
+                r_val=g["r_val"], r_rem=g["r_rem"], err=err,
+                done_d0=jnp.zeros_like(can),
+                init_emit=jnp.zeros_like(can))
+            nst = header_round(H, can, st, value, vi)
+            err = H["err"]
+
+            # -- read slot 2: chained header code (the state just entered)
+            # shares the slot with the EMIT residual burst (disjoint lanes)
+            hdr2 = can2 & ~H["done_d0"] & ~m_emit
+            kind2 = zi
+            if spec.hdr_fuse:
+                for ss, kk in ((ST_OUTD, state_kind[ST_OUTD]),
+                               (ST_REF, state_kind[ST_REF]),
+                               (ST_BC, state_kind[ST_BC]),
+                               (ST_BLK, state_kind[ST_BLK]),
+                               (ST_ICNT, state_kind[ST_ICNT]),
+                               (ST_ILEFT, state_kind[ST_ILEFT]),
+                               (ST_ILEN, state_kind[ST_ILEN]),
+                               (ST_RESF, state_kind[ST_RESF])):
+                    if kk != K_NONE and ss != ST_OUTD:
+                        kind2 = jnp.where(hdr2 & (nst == ss), kk, kind2)
             if RB:
-                kind2 = jnp.where(read2, spec.residual_coding, 0)
+                kind2 = jnp.where(read2, spec.residual_coding, kind2)
+            any2 = kind2 != 0
+            if spec.hdr_fuse or RB:
                 value2, adv2, err = read_code(b0, b1, b2, kind2, err)
                 b0, b1, b2, avail = consume(b0, b1, b2, avail,
-                                            jnp.where(read2, adv2, 0))
+                                            jnp.where(any2, adv2, 0))
                 vi2 = _i32(value2)
+            if RB:
                 cnt = cnt + jnp.where(emit2, 1, 0)
                 vals_t[1] = jnp.where(emit2, rv1, vals_t[1])
+            if spec.hdr_fuse:
+                H["err"] = err
+                nst = header_round(H, hdr2 & any2, nst, value2, vi2)
+                err = H["err"]
 
-            d = g["d"]
-            ref = g["ref"]
-            x = g["x"]
-            extra = g["extra"]
-            cop = g["cop"]
-            nst = st
-
-            # -- ST_OUTD: outdegree
-            d = jnp.where(m_outd, vi, d)
-            done_d0 = m_outd & (d == 0)
-            go_ref = m_outd & (d > 0)
-            if W > 0:
-                nst = jnp.where(go_ref, ST_REF, nst)
-                setup = jnp.zeros_like(m_outd)
-            else:
-                setup = go_ref
-                cop = jnp.where(go_ref, 0, cop)
-                ref = jnp.where(go_ref, 0, ref)
-
-            # -- ST_REF: reference
-            if W > 0:
-                ref = jnp.where(m_ref, vi, ref)
-                has_ref = m_ref & (ref > 0)
-                # referenced node's list: outdegree + output row from window
-                slot = jnp.where(has_ref, (x - ref) % CYC, 0)
-                wd, wr = win_read(slot, has_ref)
-                ref_len = jnp.where(has_ref, wd, g["ref_len"])
-                ref_row = jnp.where(has_ref, wr, g["ref_row"])
-                nst = jnp.where(has_ref, ST_BC, nst)
-                setup = setup | (m_ref & (ref == 0))
-                cop = jnp.where(m_ref, 0, cop)
-            else:
-                ref_len = g["ref_len"]
-                ref_row = g["ref_row"]
-
-            # -- ST_BC / ST_BLK: copy blocks
-            bc = g["bc"]
-            blk_i = g["blk_i"]
-            blk_tot = g["blk_tot"]
-            blk_cop = g["blk_cop"]
-            blk0 = g["blk0"]
-            if W > 0:
-                bc = jnp.where(m_bc, vi, bc)
-                err = err | jnp.where(m_bc & (bc > BMAX), E_BLK_OVF, 0)
-                bc = jnp.where(m_bc, jnp.minimum(bc, BMAX), bc)
-                blk_i = jnp.where(m_bc, 0, blk_i)
-                blk_tot = jnp.where(m_bc, 0, blk_tot)
-                blk_cop = jnp.where(m_bc, 0, blk_cop)
-                fin_bc0 = m_bc & (bc == 0)
-                # bc == 0 (even): whole reference list copied
-                cop = jnp.where(fin_bc0, ref_len, cop)
-                setup = setup | fin_bc0
-                nst = jnp.where(m_bc & (bc > 0), ST_BLK, nst)
-
-                # one block per step; wire value +1 except the first
-                # (BVGraph.java:1025, :2076)
-                bval = jnp.where(blk_i == 0, vi, vi + 1)
-                blk_wm = (rows_B == jnp.where(m_blk, blk_i, -1)[None])
-                blkbuf[:] = jnp.where(blk_wm, bval[None], blkbuf[:])
-                blk0 = jnp.where(m_blk & (blk_i == 0), bval, blk0)
-                blk_tot = jnp.where(m_blk, blk_tot + bval, blk_tot)
-                blk_cop = jnp.where(m_blk & (blk_i % 2 == 0),
-                                    blk_cop + bval, blk_cop)
-                blk_i = jnp.where(m_blk, blk_i + 1, blk_i)
-                fin_blk = m_blk & (blk_i == bc)
-                # even block count: implicit tail copy (BVGraph.java:1030)
-                cop = jnp.where(
-                    fin_blk,
-                    blk_cop + jnp.where(bc % 2 == 0, ref_len - blk_tot, 0),
-                    cop)
-                setup = setup | fin_blk
-
-            # -- setup_extra: route to intervals / residuals / emit
-            extra = jnp.where(setup, d - cop, extra)
-            err = err | jnp.where(setup & (extra < 0), E_COUNT, 0)
-            init_emit = jnp.zeros_like(setup)
-            icnt = jnp.where(setup, 0, g["icnt"])
-            if MININT:
-                to_icnt = setup & (extra > 0)
-                nst = jnp.where(to_icnt, ST_ICNT, nst)
-                to_resf0 = jnp.zeros_like(setup)
-            else:
-                to_resf0 = setup & (extra > 0)
-            init_emit = init_emit | (setup & (extra == 0))
-
-            # -- ST_ICNT / ST_ILEFT / ST_ILEN: intervals
-            i_idx = g["i_idx"]
-            iprev = g["iprev"]
-            ileft = g["ileft"]
-            if MININT:
-                icnt = jnp.where(m_icnt, vi, icnt)
-                err = err | jnp.where(m_icnt & (icnt > IMAX), E_INT_OVF, 0)
-                icnt = jnp.where(m_icnt, jnp.minimum(icnt, IMAX), icnt)
-                i_idx = jnp.where(m_icnt, 0, i_idx)
-                nst = jnp.where(m_icnt & (icnt > 0), ST_ILEFT, nst)
-                to_resf0 = to_resf0 | (m_icnt & (icnt == 0))
-
-                # left extreme: first int2nat(gamma)+x, later gap+prev+1
-                # (BVGraph.java:1040-1059)
-                lf = jnp.where(i_idx == 0, nat2int(value) + x,
-                               vi + iprev + 1)
-                ileft = jnp.where(m_ileft, lf, ileft)
-                nst = jnp.where(m_ileft, ST_ILEN, nst)
-
-                ln = vi + MININT
-                iw = (rows_I == jnp.where(m_ilen, i_idx, -1)[None])
-                intbufL[:] = jnp.where(iw, ileft[None], intbufL[:])
-                intbufN[:] = jnp.where(iw, ln[None], intbufN[:])
-                iprev = jnp.where(m_ilen, ileft + ln, iprev)
-                extra = jnp.where(m_ilen, extra - ln, extra)
-                err = err | jnp.where(m_ilen & (extra < 0), E_COUNT, 0)
-                i_idx = jnp.where(m_ilen, i_idx + 1, i_idx)
-                fin_int = m_ilen & (i_idx == icnt)
-                nst = jnp.where(m_ilen & ~fin_int, ST_ILEFT, nst)
-                to_resf = to_resf0 | (fin_int & (extra > 0))
-                init_emit = init_emit | (fin_int & (extra <= 0))
-            else:
-                to_resf = to_resf0
-
-            nst = jnp.where(to_resf, ST_RESF, nst)
-
-            # -- ST_RESF: first residual
-            r_val = g["r_val"]
-            r_rem = g["r_rem"]
-            r_val = jnp.where(m_resf, nat2int(value) + x, r_val)
-            r_rem = jnp.where(m_resf, extra, jnp.where(init_emit, 0, r_rem))
-            init_emit = init_emit | m_resf
-            nst = jnp.where(init_emit, ST_EMIT, nst)
+            d = H["d"]
+            ref = H["ref"]
+            cop = H["cop"]
+            extra = H["extra"]
+            bc = H["bc"]
+            blk_i = H["blk_i"]
+            blk_tot = H["blk_tot"]
+            blk_cop = H["blk_cop"]
+            blk0 = H["blk0"]
+            icnt = H["icnt"]
+            i_idx = H["i_idx"]
+            iprev = H["iprev"]
+            ileft = H["ileft"]
+            ref_len = H["ref_len"]
+            ref_row = H["ref_row"]
+            r_val = H["r_val"]
+            r_rem = H["r_rem"]
+            done_d0 = H["done_d0"]
+            init_emit = H["init_emit"]
 
             # ================= EMIT advances + init =================
             c_rem = g["c_rem"]
@@ -1416,6 +1524,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                                        if active.any() else 1) + 64),
         unroll=(unroll if unroll is not None
                 else (4 if jax.default_backend() == "tpu" else 1)),
+        flush_mode=_os.environ.get("WG_FLUSH_MODE", "mstore"),
     )
     if not spec.supported():
         return None
