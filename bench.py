@@ -153,14 +153,16 @@ def bench_graph(bv, data, target_arcs, v_cap, r_cap, oracle=None,
         from webgraph_tpu.algo import hyperball as HB
 
         co_t, succ_t, _ = K.decode_to_csr(prep)
-        regs = jnp.asarray(HB.hyperloglog_init(bv.num_nodes, 4))
-        r = HB.device_round(np.asarray(co_t), succ_t, regs)
+        regs = HB.pack_registers(
+            jnp.asarray(HB.hyperloglog_init(bv.num_nodes, 4)))
+        hb_plan = HB.DenseRoundPlan(np.asarray(co_t), succ_t)
+        r = HB.device_round(np.asarray(co_t), succ_t, regs, plan=hb_plan)
         r.block_until_ready()
         t0 = time.time()
-        r = HB.device_round(np.asarray(co_t), succ_t, regs)
+        r = HB.device_round(np.asarray(co_t), succ_t, regs, plan=hb_plan)
         r.block_until_ready()
         hb_s = time.time() - t0
-        del r, regs, succ_t
+        del r, regs, succ_t, hb_plan
     except Exception as e:  # noqa: BLE001
         _log("hyperball round failed:", repr(e))
 
@@ -225,19 +227,21 @@ def bench_ef(bv, hco, hsu):
 
 def bench_tpu_encode(hco, hsu, settings, golden_bytes=None):
     """Vectorized TPU encoder timing (VERDICT r3 #4): CSR -> BVGraph
-    stream on device, byte-identical to the native stream."""
+    stream on device, byte-identical to the native stream.  The CSR
+    uploads once (EncodeDevicePlan); each timed encode is the on-device
+    pipeline (masks -> cost matrix -> greedy-selection scan -> pack) plus
+    the compressed-stream download."""
     from webgraph_tpu.ops import vencode
 
     m = int(hco[-1])
     t0 = time.time()
-    gbytes, gbits, _starts, _stats = vencode.encode_csr_chunked(
-        hco, hsu, settings)
+    plan = vencode.EncodeDevicePlan(hco, hsu, settings)
+    gbytes, gbits, _starts, _refs, _rcs, _stats = plan.encode()
     warm = time.time() - t0
     times = []
     for _ in range(2):
         t0 = time.time()
-        gbytes, gbits, _starts, _stats = vencode.encode_csr_chunked(
-            hco, hsu, settings)
+        gbytes, gbits, _starts, _refs, _rcs, _stats = plan.encode()
         times.append(time.time() - t0)
     enc_s = min(times)
     r = dict(warm_s=round(warm, 1),

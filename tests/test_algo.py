@@ -372,3 +372,50 @@ def test_packed_centrality_matches_dense(monkeypatch):
     monkeypatch.setattr(C, "PACKED_CHUNK", 97)  # force multi-chunk buckets
     got = algo.harmonic_centrality(g, batch=32)
     np.testing.assert_allclose(got, want)
+
+
+def test_hyperball_packed_round_matches_u8():
+    """The packed-u32 register round must merge identically to the u8
+    formulation (the broadword packing of HyperLogLogCounterArray)."""
+    import jax.numpy as jnp
+    from webgraph_tpu.algo import hyperball as HB
+
+    g = erdos_renyi(300, 0.03, seed=9)
+    csr = g.to_csr()
+    regs = HB.hyperloglog_init(300, 4)
+    want = np.asarray(HB.device_round(
+        np.asarray(csr.offsets), jnp.asarray(csr.succ.astype(np.int32)),
+        jnp.asarray(regs)))
+    packed = HB.pack_registers(jnp.asarray(regs))
+    got = np.asarray(HB.unpack_registers(HB.device_round(
+        np.asarray(csr.offsets), jnp.asarray(csr.succ.astype(np.int32)),
+        packed)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hyperball_dense_plan_wide_class_chunks():
+    """Nodes wider than the widest degree class split into chunk levels;
+    every chunk's contribution must merge (unique scatter rows per pass)."""
+    import jax.numpy as jnp
+    from webgraph_tpu.algo import hyperball as HB
+
+    rng = np.random.default_rng(3)
+    n = 150
+    # node 0: degree 100 (>> 2^3); others sparse
+    lists = [np.sort(rng.choice(np.arange(1, n), 100, replace=False))]
+    for x in range(1, n):
+        k = rng.integers(0, 4)
+        lists.append(np.sort(rng.choice(n, k, replace=False)))
+    g = CSRGraph.from_lists(lists)
+    csr = g.to_csr()
+    regs = HB.hyperloglog_init(n, 4)
+    want = np.asarray(HB.device_round(
+        np.asarray(csr.offsets), jnp.asarray(csr.succ.astype(np.int32)),
+        jnp.asarray(regs)))
+    plan = HB.DenseRoundPlan(np.asarray(csr.offsets),
+                             jnp.asarray(csr.succ.astype(np.int32)),
+                             max_class=3)
+    assert len(plan.classes) > 4  # wide chunk levels present
+    got = np.asarray(HB.unpack_registers(
+        plan.round(HB.pack_registers(jnp.asarray(regs)))))
+    np.testing.assert_array_equal(got, want)

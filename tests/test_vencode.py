@@ -115,3 +115,25 @@ def test_cnr2000_tpu_byte_identity(tmp_path, cnr2000_basename):
     for ext, md5 in want.items():
         got = hashlib.md5(open(out + ext, "rb").read()).hexdigest()
         assert got == md5, ext
+
+
+def test_encode_device_plan_byte_identical():
+    """EncodeDevicePlan (single-upload, all-device selection scan) must be
+    byte-identical to the native encoder (BVGraph.java:2256-2270 greedy +
+    measure-then-pack)."""
+    from webgraph_tpu import native
+    from webgraph_tpu.ops.vencode import EncodeDevicePlan
+
+    rng = np.random.default_rng(11)
+    g = erdos_renyi(400, 0.04, seed=5)
+    co, su = np.asarray(g.offsets), np.asarray(g.succ)
+    settings = BVGraphSettings()
+    plan = EncodeDevicePlan(co, su, settings)
+    gbytes, gbits, starts, refs, rcs, stats = plan.encode()
+    ng, nbits, _o, _ob, _st = native.bv_encode(co, su, settings, threads=1)
+    assert gbits == nbits
+    assert np.array_equal(np.frombuffer(gbytes, np.uint8),
+                          np.asarray(ng, np.uint8))
+    # second encode from the same plan is identical (device-resident reuse)
+    gbytes2 = plan.encode()[0]
+    assert gbytes2 == gbytes

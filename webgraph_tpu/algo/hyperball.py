@@ -113,14 +113,128 @@ def _arc_src_device(bounds, m: int):
                       .at[bounds].add(1, mode="drop"))
 
 
-def device_round(csr_off: np.ndarray, succ_dev, regs_dev):
+@jax.jit
+def pack_registers(regs_u8):
+    """(n, R) uint8 registers -> (n, R//4) uint32 words, 4 registers per
+    word in little-endian byte order (the TPU analogue of the reference's
+    packed broadword register array, HyperLogLogCounterArray).  Shift
+    arithmetic, no bitcasts (the tunnel's remote Mosaic compiler rejects
+    large bitcast reshapes)."""
+    n, R = regs_u8.shape
+    g = regs_u8.reshape(n, R // 4, 4).astype(jnp.uint32)
+    sh = jnp.arange(4, dtype=jnp.uint32) * 8
+    return jnp.sum(g << sh[None, None, :], axis=2, dtype=jnp.uint32)
+
+
+@jax.jit
+def unpack_registers(packed_u32):
+    """(n, R//4) uint32 -> (n, R) uint8 (inverse of pack_registers)."""
+    n, R4 = packed_u32.shape
+    sh = jnp.arange(4, dtype=jnp.uint32) * 8
+    b = (packed_u32[:, :, None] >> sh[None, None, :]) & jnp.uint32(0xFF)
+    return b.astype(jnp.uint8).reshape(n, R4 * 4)
+
+
+def _swar_max(x, y):
+    """Byte-wise max of packed uint32 register words.  HLL registers are
+    <= 64 < 0x80, so the per-byte borrow in (x | H) - y can never cross
+    bytes and the H-bit of each byte is exactly x_b >= y_b (the broadword
+    discipline of the reference's HyperLogLogCounterArray.max)."""
+    H = jnp.uint32(0x80808080)
+    ge = ((x | H) - y) & H
+    msk = (ge - (ge >> 7)) | ge          # 0xFF per byte where x_b >= y_b
+    return (x & msk) | (y & ~msk)
+
+
+class DenseRoundPlan:
+    """Dense HyperBall round at memory-bandwidth speed: nodes are grouped
+    into power-of-2 degree classes, each class's successor lists padded to
+    the class width, so the register max-merge is a DENSE tree reduction
+    over packed words instead of a per-element segment_max (which measures
+    ~8 ns/element — 40+ s/round at web scale; the reduction is ~10x
+    cheaper).  The padded target arrays build once on device.
+
+    This is the analogue of the reference's broadword max over arc-
+    balanced task chunks (HyperBall.java:654-900) re-shaped for the VPU.
+    """
+
+    def __init__(self, csr_off: np.ndarray, succ_dev, max_class: int = 14):
+        co = np.asarray(csr_off, dtype=np.int64)
+        n = len(co) - 1
+        deg = np.diff(co)
+        cls = np.zeros(n, dtype=np.int32)
+        nz = deg > 0
+        cls[nz] = np.ceil(np.log2(deg[nz])).astype(np.int32)
+        cls[deg == 1] = 0
+        # huge-degree nodes (beyond 2^max_class) fall into chunked rows of
+        # the widest class, merged across chunks by repeated scatter-max
+        self.classes = []
+        succ_dev = succ_dev.astype(jnp.int32)
+
+        def add_class(width, rows, starts, lens):
+            if not len(rows):
+                return
+            k = len(rows)
+            # padded gather positions into succ (pad -> sentinel -1, whose
+            # fill-gather yields all-zero register rows: neutral for max)
+            idx = (starts[:, None] + np.arange(width, dtype=np.int64)[None])
+            pad = np.arange(width, dtype=np.int64)[None] >= lens[:, None]
+            tgt = jnp.take(succ_dev, jnp.asarray(idx.reshape(-1)
+                                                 .astype(np.int32)),
+                           mode="clip").reshape(k, width)
+            tgt = jnp.where(jnp.asarray(pad), jnp.int32(n), tgt)
+            self.classes.append((width, jnp.asarray(rows.astype(np.int32)),
+                                 tgt))
+
+        for c in range(0, max_class):
+            sel = np.flatnonzero(nz & (cls == c))
+            add_class(1 << c, sel, co[sel], deg[sel])
+        # widest class: nodes beyond 2^max_class split into width-sized
+        # chunk rows; each chunk LEVEL is its own entry so scatter rows
+        # stay unique (sequential class passes max-merge into `out`)
+        width = 1 << max_class
+        wide = np.flatnonzero(nz & (cls >= max_class))
+        if len(wide):
+            nch = -(-deg[wide] // width)
+            for lvl in range(int(nch.max())):
+                sl = wide[nch > lvl]
+                starts = co[sl] + lvl * width
+                lens = np.minimum(co[sl + 1] - starts, width)
+                add_class(width, sl, starts, lens)
+        self.n = n
+
+    def round(self, packed):
+        """packed (n, R/4) uint32 -> merged packed registers."""
+        out = packed
+        for width, rows, tgt in self.classes:
+            g = jnp.take(packed, tgt.reshape(-1), axis=0,
+                         mode="fill", fill_value=0)
+            g = g.reshape(tgt.shape[0], width, packed.shape[1])
+            while g.shape[1] > 1:
+                g = _swar_max(g[:, 0::2], g[:, 1::2])
+            out = out.at[rows].set(
+                _swar_max(g[:, 0], jnp.take(out, rows, axis=0)),
+                mode="drop")
+        return out
+
+
+def device_round(csr_off: np.ndarray, succ_dev, regs_dev, plan=None):
     """One HyperBall iteration consuming a DEVICE-resident CSR — e.g. the
     product of ``ops.kdecode.decode_to_csr`` — with no host roundtrip
     (the reference's iteration consumes successors straight off the graph
     iterator, HyperBall.java:654-900).  Returns the merged registers.
 
     ``csr_off``: host int64[n+1]; ``succ_dev``: device int32/int64[m];
-    ``regs_dev``: device uint8 (n, 2^log2m) register array."""
+    ``regs_dev``: device uint8 (n, 2^log2m) register array, or a PACKED
+    uint32 (n, 2^log2m / 4) array from :func:`pack_registers` (returned in
+    kind).  The packed path runs through a :class:`DenseRoundPlan`
+    (degree-class dense reductions — the per-element segment_max measured
+    ~8 ns/element, 40+ s/round at web scale); pass ``plan`` to reuse one
+    across rounds."""
+    if regs_dev.dtype == jnp.uint32:
+        if plan is None:
+            plan = DenseRoundPlan(csr_off, succ_dev)
+        return plan.round(regs_dev)
     csr_off = np.asarray(csr_off)
     m = int(csr_off[-1])
     bounds = jnp.asarray(csr_off[1:-1].astype(np.int32))

@@ -151,6 +151,7 @@ def plan_compact(arc_start: np.ndarray, src0: np.ndarray,
     R = len(src0)
     NB = -(-m // (OUTROWS * 128)) if m else 1
     SENT = OUTROWS * 128
+    store_rows = -(-store_elems // 128)
 
     # entry boundaries: run starts + the 1024-element grid (so one entry
     # never spans more than 8 output rows)
@@ -161,33 +162,57 @@ def plan_compact(arc_start: np.ndarray, src0: np.ndarray,
     keep = valid[np.clip(e_run, 0, max(R - 1, 0))] & (e_run >= 0)
     bnd = bnd[keep]
     e_run = e_run[keep]
-    e_src = (src0[e_run] + (bnd - arc_start[e_run])) + FRONT_PAD
+    e_src = src0[e_run] + (bnd - arc_start[e_run])
     blk = bnd // SENT
     st = (bnd % SENT).astype(np.int64)
 
-    # per-block window base (one row of slack below the minimum source so
-    # row-aligned segment loads never go negative)
+    # per-block window base.  When the store is big enough the kernel
+    # reads it UNPADDED (no per-decode _pad_store copy of the multi-GB
+    # store): the window is sized +16 rows so the 8-aligned 16-row
+    # segment loads stay inside it even after the end clamp, and the rare
+    # entries whose row base would go negative (only the very first lane's
+    # first rows) fall back to the gather path.
     srow_src = e_src - (st & 127)        # source of the entry's row base
+    neg = srow_src < 0
+    srow_ok = np.maximum(srow_src, 0)
     w0 = np.full(NB, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(w0, blk, srow_src // 128 - 1)
+    np.minimum.at(w0, blk[~neg], srow_ok[~neg] // 128)
     have = np.zeros(NB, dtype=bool)
-    have[blk] = True
+    have[blk[~neg]] = True
     w0[~have] = 0
-    w0 = np.maximum(w0, 0)
 
-    r0 = srow_src // 128 - w0[blk]
-    rr = srow_src - 128 * (srow_src // 128)
-    assert (r0 >= 0).all()
+    r0_raw = srow_ok // 128 - w0[blk]
+    rr = srow_ok - 128 * (srow_ok // 128)
 
     # entry index within block + per-block caps
     eib = np.arange(len(blk), dtype=np.int64) - np.searchsorted(
         blk, blk, side="left")
-    span_ok_rows = ((r0 & ~np.int64(7)) + 16).astype(np.int64)
+    span_ok_rows = ((r0_raw & ~np.int64(7)) + 16).astype(np.int64)
     blk_rows = np.zeros(NB, dtype=np.int64)
-    np.maximum.at(blk_rows, blk, span_ok_rows)
+    np.maximum.at(blk_rows, blk[~neg], span_ok_rows[~neg])
     blk_segs = np.bincount(blk, minlength=NB)
-    WR = int(min(max(int(blk_rows.max() if len(blk) else 9), 9), max_wr))
+    WR = int(min(max(int(blk_rows.max() if len(blk) else 9) + 16, 32),
+                 max_wr + 16))
     bad_blk = (blk_rows > max_wr) | (blk_segs > SMAX)
+    if neg.any():
+        bad_blk[blk[neg]] = True
+    if store_rows >= WR:
+        # unpadded store: clamp windows into [0, store_rows - WR]
+        NR = store_rows
+        pad_elems = -1            # marker: no pad pass
+        w0 = np.minimum(w0, NR - WR)
+        r0 = srow_ok // 128 - w0[blk]
+        # clamping may push r0 past SMEM's span budget; those blocks
+        # fall back too (only possible at the store tail)
+        over = (r0 & ~np.int64(7)) + 16 > WR
+        if over.any():
+            bad_blk[blk[over]] = True
+    else:
+        NR = store_rows + WR + 1
+        pad_elems = NR * 128 - store_elems
+        w0 = np.minimum(np.maximum(w0, 0), max(NR - WR, 0))
+        r0 = srow_ok // 128 - w0[blk]
+    assert (r0[~bad_blk[blk]] >= 0).all()
 
     ok = ~bad_blk[blk] & (eib < SMAX)
     st_tab = np.full((NB, SMAX), SENT, dtype=np.int32)
@@ -205,12 +230,10 @@ def plan_compact(arc_start: np.ndarray, src0: np.ndarray,
                + np.arange(SENT, dtype=np.int64)[None, :]).reshape(-1)
         pos = pos[pos < m]
         fb_dst = pos
-    NR = -(-(store_elems + FRONT_PAD) // 128) + WR + 1
     return CompactPlan(jnp.asarray(st_tab), jnp.asarray(r0_tab),
                        jnp.asarray(rr_tab),
-                       jnp.asarray(np.minimum(w0, max(NR - WR, 0))
-                                   .astype(np.int32)),
-                       NB, WR, NR, NR * 128 - store_elems - FRONT_PAD,
+                       jnp.asarray(w0.astype(np.int32)),
+                       NB, WR, NR, pad_elems,
                        fb_idx, fb_dst)
 
 
@@ -227,7 +250,10 @@ def compact(cp: CompactPlan, lm, m: int,
     with hub/fill positions)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    lm_pad = _pad_store(lm, FRONT_PAD, cp.pad_elems)
-    out = _run_compact(cp.st, cp.r0, cp.rr, cp.w0, lm_pad,
+    # pad_elems == -1: the plan reads the store UNPADDED (no multi-GB
+    # copy per decode; windows are clamped inside the store and the rare
+    # boundary entries ride the gather fallback)
+    lm_use = lm if cp.pad_elems == -1 else _pad_store(lm, 0, cp.pad_elems)
+    out = _run_compact(cp.st, cp.r0, cp.rr, cp.w0, lm_use,
                        NB=cp.NB, WR=cp.WR, NR=cp.NR, interpret=interpret)
     return out.reshape(-1)[:m]

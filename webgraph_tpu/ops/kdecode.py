@@ -1034,6 +1034,10 @@ class PreparedDecode:
     wf_nodes: Optional[np.ndarray] = None    # per-halo-list pred node id
     wf_cnt: Optional[np.ndarray] = None      # per-halo-list length
     wf_chunk: Optional[np.ndarray] = None    # per-halo-list source chunk
+    wf_depth: Optional[np.ndarray] = None    # per-halo-list chain depth
+    # (pred's list is correct after this many kernel passes; from the
+    # header refs — per-element convergence, so resolve runs max(depth)
+    # passes and extracts only the lists that just became correct)
     # device-CSR assembly index (plan_csr_index): per-arc tiled-store
     # gather positions + hub arc CSR destinations
     csr_idx4: Optional[jnp.ndarray] = None
@@ -2351,6 +2355,19 @@ def _csr_splice(succ, dst, vals):
                             unique_indices=True)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("SE",))
+def _csr_hub_composed(succ, dst, src, lm, int_table, SE: int):
+    """Splice hub arcs straight from their composed ultimate sources (the
+    lane-major store, or the static interval table past it) — one fused
+    gather+scatter instead of the full hub assembly pipeline."""
+    vals = jnp.where(
+        src < SE,
+        jnp.take(lm, jnp.minimum(src, SE - 1), mode="clip"),
+        jnp.take(int_table, jnp.maximum(src - SE, 0), mode="clip"))
+    return succ.at[dst].set(vals, mode="drop", indices_are_sorted=True,
+                            unique_indices=True)
+
+
 def plan_csr_index(prep: PreparedDecode, force_gather: bool = False
                    ) -> None:
     """Precompute the device-resident flat-CSR assembly index (one gather
@@ -2453,16 +2470,25 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
     if not use_compact and prep.csr_idx4 is True:
         plan_csr_index(prep, force_gather=True)   # lazy gather index
 
-    def _assemble_csr(o, hv):
+    def _assemble_csr(holder, hv):
+        o = holder.pop()
         if use_compact:
             from . import kcompact as KC
             lm = _untile_store(o)
+            o = None   # free the tiled store before the compact buffers
             succ = KC.compact(cp, lm, prep.m)
             if cp.fb_dst is not None:
                 succ = succ.at[cp.fb_dst].set(
                     jnp.take(lm, cp.fb_idx, mode="clip"))
             if hv is not None:
                 succ = _csr_splice(succ, prep.csr_hub_dst, hv)
+            elif composed:
+                # hub arcs straight from the composed source map: no hub
+                # assembly pipeline at all on the compact path
+                succ = _csr_hub_composed(
+                    succ, prep.csr_hub_dst, prep.hub.src_final, lm,
+                    prep.hub.int_table,
+                    SE=prep.spec.T * 1024 * prep.spec.V)
             return succ
         if composed:
             return _csr_gather_composed(o, prep.csr_idx4,
@@ -2474,25 +2500,29 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
 
     if prep.csr_fill_dst is not None:
         # steady state: error/fill structure is static per graph, so the
-        # whole step is device ops (no diag readback) — kernel + one flat
-        # gather (+ fill splice); hub arcs ride the same gather when the
-        # composed source map exists (cold plans)
-        if composed and not use_compact:
+        # whole step is device ops (no diag readback) — kernel + flatten
+        # (+ fill splice); hub arcs ride the composed source map when it
+        # exists (cold plans), so the hub-assembly pipeline never runs
+        if composed:
             o, dg = decode_chunked(prep, interpret=interpret)
             hv = None
         else:
             o, dg, hv = decode_full(prep, interpret=interpret)
-        succ = _assemble_csr(o, hv)
-        o = dg = hv = None   # free the store as soon as the flatten reads it
+        holder = [o]
+        o = dg = None
+        succ = _assemble_csr(holder, hv)
+        hv = None
         if prep.csr_fill_dst.size:
             succ = _csr_splice(succ, prep.csr_fill_dst, prep.csr_fill_val)
         return co, succ, None
-    if composed and not use_compact:
+    if composed:
         o, dg = decode_chunked(prep, interpret=interpret)
         hv = None
     else:
         o, dg, hv = decode_full(prep, interpret=interpret)
-    succ = _assemble_csr(o, hv)
+    holder = [o]
+    o = None
+    succ = _assemble_csr(holder, hv)
     errs = check_diag(prep, np.asarray(dg))
     nc = prep.n_chunk_lanes
     bad = prep.skipped | (errs[:nc] != 0)

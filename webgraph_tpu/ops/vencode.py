@@ -46,7 +46,8 @@ import numpy as np
 from ..codecs.bvgraph import CompressionFlags as _C
 
 __all__ = ["encode_csr", "encode_csr_chunked", "pack_chunk", "pack_gaps",
-           "cost_matrix", "member_masks", "select_refs", "supported"]
+           "cost_matrix", "member_masks", "select_refs", "supported",
+           "EncodeDevicePlan"]
 
 _I32 = jnp.int32
 _I64 = jnp.int64
@@ -449,6 +450,116 @@ def _is_first_np(co, m):
     f = np.zeros(m, dtype=bool)
     f[co[:-1][np.diff(co) > 0]] = True
     return f
+
+
+@functools.partial(jax.jit, static_argnames=("W", "maxref"))
+def _select_refs_dev(costs, outd, W: int, maxref: int):
+    """Greedy reference selection as a device lax.scan (the native
+    wg_select_refs semantics, BVGraph.java:2256-2270; single stream, no
+    window resets).  Carries the last-W refcounts/outdegrees as small
+    shift registers — no dynamic indexing, so nothing gathers inside the
+    loop (docs/TPU_RUNTIME_NOTES.md rule)."""
+    INF = jnp.int64(1) << jnp.int64(62)
+    rr = jnp.arange(W, dtype=_I32)
+
+    def step(carry, xs):
+        rc_rel, wlen_rel = carry          # (W,): node x-1-r state
+        cost_row, dx = xs                 # (W+1,) int64, () int32
+        valid = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (rc_rel < maxref) & (wlen_rel != 0)]) & (cost_row >= 0)
+        c = jnp.where(valid, cost_row, INF)
+        best_r = jnp.argmin(c).astype(_I32)   # ties -> lowest r (native)
+        rc_prev = jnp.sum(jnp.where(rr == best_r - 1, rc_rel, 0),
+                          dtype=_I32)
+        rc_new = jnp.where(best_r == 0, 0, rc_prev + 1).astype(_I32)
+        refs_x = jnp.where(dx == 0, 0, best_r).astype(_I32)
+        rc_out = jnp.where(dx == 0, 0, rc_new).astype(_I32)
+        rc_rel = jnp.concatenate([rc_out[None], rc_rel[:-1]])
+        wlen_rel = jnp.concatenate([dx[None], wlen_rel[:-1]])
+        return (rc_rel, wlen_rel), (refs_x, rc_out)
+
+    carry0 = (jnp.zeros(W, _I32), jnp.zeros(W, _I32))
+    _, (refs, rcs) = jax.lax.scan(step, carry0,
+                                  (costs, outd.astype(_I32)))
+    return refs, rcs
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _arc_arrays_dev(co32, m: int, n: int):
+    """Per-arc arrays (seg, is_first, first_idx, last_idx) derived on
+    device from the CSR offsets — no host repeat/upload per encode."""
+    seg = jnp.cumsum(jnp.zeros((m,), _I32)
+                     .at[co32[1:-1]].add(1, mode="drop"))
+    first_idx = jnp.take(co32, seg)
+    last_idx = jnp.take(co32, seg + 1) - 1
+    is_first = jnp.arange(m, dtype=_I32) == first_idx
+    return seg, is_first, first_idx, last_idx
+
+
+class EncodeDevicePlan:
+    """Device-resident whole-graph encoder: the CSR uploads ONCE; each
+    ``encode()`` is a handful of jitted dispatches (arc arrays -> masks ->
+    cost matrix -> greedy-selection scan -> token pack) with only the
+    compressed stream coming back — the per-call host interleave of the
+    chunked path is tunnel-bound 50x below this
+    (docs/TPU_RUNTIME_NOTES.md round-4 findings).  Byte-identical to the
+    scalar _Encoder / native encoder.  Sized for graphs whose token arrays
+    fit HBM (~<= 48M arcs); bigger graphs use encode_csr_chunked."""
+
+    def __init__(self, co: np.ndarray, succ: np.ndarray, settings):
+        assert supported(settings)
+        self.settings = settings
+        self.spec = _spec(settings)
+        co = np.asarray(co, dtype=np.int64)
+        self.n = len(co) - 1
+        self.m = int(co[-1])
+        assert self.m < (1 << 31) and co[-1] == len(succ)
+        self.co_host = co
+        with jax.enable_x64(True):
+            self.co64 = jnp.asarray(co)
+            self.co32 = jnp.asarray(co.astype(np.int32))
+            self.v = jnp.asarray(np.asarray(succ, dtype=np.int64)
+                                 .astype(np.int32))
+            self.outd = jnp.asarray(np.diff(co).astype(np.int32))
+
+    def encode(self):
+        """Returns (graph_bytes, graph_bits, node_starts int64[n],
+        refs int32[n], ref_counts int32[n], stats int64[138])."""
+        spec = self.spec
+        st = self.settings
+        with jax.enable_x64(True):
+            seg, is_first, first_idx, last_idx = _arc_arrays_dev(
+                self.co32, m=self.m, n=self.n)
+            if spec["W"] > 0:
+                down, up = _member_masks_dev(seg, self.v, spec["W"])
+            else:
+                down = up = jnp.zeros(self.m, _I32)
+            spec_t = tuple(sorted(spec.items()))
+            cm = _cost_matrix_dev(seg, self.v, seg, is_first, first_idx,
+                                  last_idx, down, up, self.co64, None,
+                                  spec_t)
+            refs, rcs = _select_refs_dev(cm, self.outd, W=spec["W"],
+                                         maxref=st.max_ref_count)
+            ub_bits = 16 * self.m + 70 * self.n + 128
+            for _ in range(3):
+                nw = _PAD_WORDS + (-(-ub_bits // 32))
+                nw = -(-nw // _WORD_BUCKET) * _WORD_BUCKET
+                out = jnp.zeros(nw, dtype=jnp.uint32)
+                words, starts, total, stats = _pack_dev(
+                    seg, self.v, seg, is_first, first_idx, last_idx,
+                    down, up, self.co64, refs, out, spec_t, 0)
+                total = int(total)
+                if total + 32 * _PAD_WORDS <= nw * 32:
+                    break
+                ub_bits = total + 256
+            else:
+                raise RuntimeError("encode buffer sizing did not converge")
+            stats = np.array(stats, dtype=np.int64)
+            stats[3] = int(np.asarray(jnp.sum(rcs)))
+            return (_words_to_bytes(np.asarray(words), total), total,
+                    np.asarray(starts), np.asarray(refs),
+                    np.asarray(rcs), stats)
 
 
 def select_refs(costs: np.ndarray, outd: np.ndarray, settings,
