@@ -135,6 +135,20 @@ def unpack_registers(packed_u32):
     return b.astype(jnp.uint8).reshape(n, R4 * 4)
 
 
+@functools.partial(jax.jit, static_argnames=("logw", "n", "total"))
+def _build_class_tgt(succ, starts, lens, logw: int, n: int, total: int):
+    """Flat padded per-class successor indices, built on device with 1-D
+    ops only (row = j >> logw, offset = j & (width-1))."""
+    j = jnp.arange(total, dtype=jnp.int32)
+    row = j >> logw
+    off = j & ((1 << logw) - 1)
+    s = jnp.take(starts, row)
+    ln = jnp.take(lens, row)
+    idx = jnp.clip(s + off, 0, max(succ.shape[0] - 1, 0))
+    t = jnp.take(succ, idx) if succ.shape[0] else jnp.zeros_like(idx)
+    return jnp.where(off >= ln, jnp.int32(n), t)
+
+
 def _swar_max(x, y):
     """Byte-wise max of packed uint32 register words.  HLL registers are
     <= 64 < 0x80, so the per-byte borrow in (x | H) - y can never cross
@@ -165,7 +179,6 @@ class DenseRoundPlan:
         cls = np.zeros(n, dtype=np.int32)
         nz = deg > 0
         cls[nz] = np.ceil(np.log2(deg[nz])).astype(np.int32)
-        cls[deg == 1] = 0
         # huge-degree nodes (beyond 2^max_class) fall into chunked rows of
         # the widest class, merged across chunks by repeated scatter-max
         self.classes = []
@@ -174,15 +187,15 @@ class DenseRoundPlan:
         def add_class(width, rows, starts, lens):
             if not len(rows):
                 return
-            k = len(rows)
-            # padded gather positions into succ (pad -> sentinel -1, whose
-            # fill-gather yields all-zero register rows: neutral for max)
-            idx = (starts[:, None] + np.arange(width, dtype=np.int64)[None])
-            pad = np.arange(width, dtype=np.int64)[None] >= lens[:, None]
-            tgt = jnp.take(succ_dev, jnp.asarray(idx.reshape(-1)
-                                                 .astype(np.int32)),
-                           mode="clip").reshape(k, width)
-            tgt = jnp.where(jnp.asarray(pad), jnp.int32(n), tgt)
+            # flat padded target index (pad -> sentinel n: OOB fill-gather
+            # yields all-zero register rows, neutral for max).  Everything
+            # stays 1-D or (X, R/4): small-minor 3-D intermediates get
+            # 8x-padded TPU layouts (measured OOM at uk scale).
+            tgt = _build_class_tgt(
+                succ_dev, jnp.asarray(starts.astype(np.int32)),
+                jnp.asarray(lens.astype(np.int32)),
+                logw=int(np.log2(width)), n=n,
+                total=len(rows) * width)
             self.classes.append((width, jnp.asarray(rows.astype(np.int32)),
                                  tgt))
 
@@ -203,18 +216,33 @@ class DenseRoundPlan:
                 add_class(width, sl, starts, lens)
         self.n = n
 
+    # flat padded rows per dispatch: bounds the gather+reduction transient
+    # to ~1-2 GB so rounds coexist with a resident decode plan in HBM
+    CHUNK_FLAT = 48 << 20
+
     def round(self, packed):
         """packed (n, R/4) uint32 -> merged packed registers."""
         out = packed
         for width, rows, tgt in self.classes:
-            g = jnp.take(packed, tgt.reshape(-1), axis=0,
-                         mode="fill", fill_value=0)
-            g = g.reshape(tgt.shape[0], width, packed.shape[1])
-            while g.shape[1] > 1:
-                g = _swar_max(g[:, 0::2], g[:, 1::2])
-            out = out.at[rows].set(
-                _swar_max(g[:, 0], jnp.take(out, rows, axis=0)),
-                mode="drop")
+            k = int(tgt.shape[0]) // width
+            step_k = max(1, self.CHUNK_FLAT // width)
+            for lo in range(0, k, step_k):
+                hi = min(lo + step_k, k)
+                # (chunk*width, R/4) flat; tree-reduce by CONTIGUOUS pair
+                # reshape (k, 2*R4) -> halves (stride-2 row slices measure
+                # like gathers, ~10 ns/row — the reshape halves are plain
+                # bandwidth).  Pairs never cross a node: width-aligned.
+                g = jnp.take(packed, tgt[lo * width:hi * width], axis=0,
+                             mode="fill", fill_value=0)
+                R4 = g.shape[1]
+                w = width
+                while w > 1:
+                    g = g.reshape(g.shape[0] // 2, 2 * R4)
+                    g = _swar_max(g[:, :R4], g[:, R4:])
+                    w //= 2
+                rs = rows[lo:hi]
+                out = out.at[rs].set(
+                    _swar_max(g, jnp.take(out, rs, axis=0)), mode="drop")
         return out
 
 

@@ -125,9 +125,13 @@ def _ef_decode_device(words, starts, up_end, upper_bound,
     rank_excl = jnp.cumsum(ones) - ones  # rank of position (exclusive)
     total_ones = m + n  # d+1 ones per node => sum(d) + n
     pos_of_rank = jnp.zeros(total_ones + 1, dtype=jnp.int32)
-    pos_idx = jnp.where(ones > 0, rank_excl, total_ones)
-    pos_of_rank = pos_of_rank.at[pos_idx].max(
-        jnp.arange(total_bits, dtype=jnp.int32), mode="drop")
+    # rank_excl is nondecreasing, so this is a SORTED scatter-max: zero
+    # positions write value 0 at their (duplicate) rank and lose the max
+    # to the real one's position (one at stream position 0 is rank 0
+    # anyway, so the duplicate zero write is exact there too)
+    pos_of_rank = pos_of_rank.at[rank_excl].max(
+        jnp.where(ones > 0, jnp.arange(total_bits, dtype=jnp.int32), 0),
+        mode="drop", indices_are_sorted=True)
 
     # ---- per-arc assembly (row ids from the CSR bounds, on device) ----
     row = jnp.cumsum(jnp.zeros((m,), jnp.int32)

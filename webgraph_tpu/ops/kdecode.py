@@ -115,6 +115,14 @@ class KernelSpec:
     # Per-node header cost (outd/ref/blocks/intervals/resf) halves; every
     # masked sweep in the body is per-step, so fewer steps is the lever.
     hdr_fuse: int = 1
+    # lazy copy-head reads: the V8-group masked sweep (measured ~30% of
+    # the step) runs only under a scalar lax.cond every (sweep_mask+1)
+    # steps, and only for lanes whose next head left both the stage banks
+    # and the group snapshot (gv registers, tracked by cur_g); lanes with
+    # a pending unseen head stall until the next sweep step.  Requires
+    # burst > 1 (the gv registers).
+    lazy_read: int = 1
+    sweep_mask: int = 1
 
     def supported(self) -> bool:
         ks = {self.outdegree_coding, self.reference_coding,
@@ -414,6 +422,9 @@ def _make_kernel(spec: KernelSpec):
             **{f"sw{k}": zi for k in range(16)},
             **({f"gv{j}": zi for j in range(8)}
                if spec.burst > 1 and W > 0 else {}),
+            **({"cur_g": zi - 1, "cur_imm": jnp.zeros((8, 128), bool),
+                "hdmiss": jnp.zeros((8, 128), bool)}
+               if spec.lazy_read and spec.burst > 1 and W > 0 else {}),
         )
         keys = tuple(sorted(carry0.keys()))
 
@@ -434,6 +445,49 @@ def _make_kernel(spec: KernelSpec):
                 st != ST_DONE)
             can = (st != ST_DONE) & (avail >= 64)
 
+            LAZY = spec.lazy_read and spec.burst > 1 and W > 0
+            if LAZY:
+                # cadence-gated copy-head sweep (scalar cond): resolve
+                # every lane whose pending head left the stage banks and
+                # the gv group snapshot; those lanes stalled since the
+                # miss.  The V8-group sweep thus runs on a fraction of
+                # steps instead of inside every step's dataflow.
+                hdm = g["hdmiss"]
+
+                def _sweep(ops):
+                    c_val0, cur_g0, imm0, hdm0 = (ops[0], ops[1], ops[2],
+                                                  ops[3])
+                    gv0 = ops[4:]
+                    row = g["ref_row"] + g["c_idx"]
+                    gsel = jnp.where(hdm0, row >> 3, -1)
+                    jsel = row & 7
+                    m_g = rows_G == gsel[None]
+                    v = jnp.zeros((8, 128), jnp.int32)
+                    gv1 = []
+                    for j in range(8):
+                        vb = jnp.sum(jnp.where(m_g, out_ref[:, j], 0),
+                                     axis=0)
+                        gv1.append(jnp.where(hdm0, vb, gv0[j]))
+                        v = jnp.where(jsel == j, vb, v)
+                    return (jnp.where(hdm0, v, c_val0),
+                            jnp.where(hdm0, row >> 3, cur_g0),
+                            imm0 | hdm0,   # swept groups are < fw: immutable
+                            jnp.zeros_like(hdm0), *gv1)
+
+                ops = (g["c_val"], g["cur_g"], g["cur_imm"], hdm,
+                       *[g[f"gv{j}"] for j in range(8)])
+                do = jnp.any(hdm) & (
+                    (g["step"] & spec.sweep_mask) == spec.sweep_mask)
+                ops = jax.lax.cond(do, _sweep, lambda o: o, ops)
+                g = dict(g)
+                g["c_val"], g["cur_g"], g["cur_imm"], hdm = (
+                    ops[0], ops[1], ops[2], ops[3])
+                for j in range(8):
+                    g[f"gv{j}"] = ops[4 + j]
+                can_emit = can & ~hdm
+            else:
+                can_emit = can
+
             m_outd = can & (st == ST_OUTD)
             m_ref = can & (st == ST_REF)
             m_bc = can & (st == ST_BC)
@@ -442,7 +496,7 @@ def _make_kernel(spec: KernelSpec):
             m_ileft = can & (st == ST_ILEFT)
             m_ilen = can & (st == ST_ILEN)
             m_resf = can & (st == ST_RESF)
-            m_emit = can & (st == ST_EMIT)
+            m_emit = can_emit & (st == ST_EMIT)
 
             # -- EMIT winner selection (current heads; reads happen below)
             cval = jnp.where(g["c_rem"] > 0, g["c_val"], INT_INF)
@@ -824,16 +878,51 @@ def _make_kernel(spec: KernelSpec):
             e_rem = e_rem - cnt
 
             if W > 0:
-                # copy head (re)load from the lane's own output column (the
-                # group values ride along for the next step's copy burst)
                 creload = (win_c & (c_rem > 0)) | (cinit & (c_rem > 0))
-                hv, gvn = out_read(ref_row + c_idx, creload, g["fw"], stw,
-                                   wcur)
-                c_val = jnp.where(creload, hv, c_val)
-                if EB > 1:
+                if LAZY:
+                    # lazy head refresh: serve the next head from the
+                    # stage banks (rows >= fw) or the gv group snapshot
+                    # (cur_g); anything else marks the lane head-missing
+                    # and it stalls until the next cadence sweep
+                    row0n = ref_row + c_idx
+                    gsel_n = row0n >> 3
+                    jsel_n = row0n & 7
+                    in_stage = creload & (row0n >= g["fw"])
+                    bsel_n = gsel_n & 1
                     gvo = [g[f"gv{j}"] for j in range(8)]
-                    gvu = {f"gv{j}": jnp.where(creload, gvn[j], gvo[j])
+                    stage_v = jnp.zeros((8, 128), jnp.int32)
+                    gv_v = jnp.zeros((8, 128), jnp.int32)
+                    sv = []
+                    for j in range(8):
+                        svj = jnp.where(bsel_n == 0, stw[j], stw[8 + j])
+                        sv.append(svj)
+                        stage_v = jnp.where(jsel_n == j, svj, stage_v)
+                        gv_v = jnp.where(jsel_n == j, gvo[j], gv_v)
+                    # a gv snapshot may serve future steps ONLY if its
+                    # group was immutable when captured (a sweep of rows
+                    # < fw); stage snapshots rot as later rows land in
+                    # the shared group — they serve bursts for one step
+                    # and are re-captured on every in-stage serving
+                    in_gv = (creload & ~in_stage & g["cur_imm"]
+                             & (gsel_n == g["cur_g"]))
+                    c_val = jnp.where(in_stage, stage_v,
+                                      jnp.where(in_gv, gv_v, c_val))
+                    gvu = {f"gv{j}": jnp.where(in_stage, sv[j], gvo[j])
                            for j in range(8)}
+                    cur_g_n = jnp.where(in_stage, gsel_n, g["cur_g"])
+                    cur_imm_n = jnp.where(in_stage, False, g["cur_imm"])
+                    hdmiss_n = creload & ~in_stage & ~in_gv
+                else:
+                    # eager head (re)load from the lane's own output
+                    # column (the group values ride along for the next
+                    # step's copy burst)
+                    hv, gvn = out_read(ref_row + c_idx, creload, g["fw"],
+                                       stw, wcur)
+                    c_val = jnp.where(creload, hv, c_val)
+                    if EB > 1:
+                        gvo = [g[f"gv{j}"] for j in range(8)]
+                        gvu = {f"gv{j}": jnp.where(creload, gvn[j], gvo[j])
+                               for j in range(8)}
 
             # -- node completion
             done_emit = m_emit & emit_en & (e_rem == 0)
@@ -879,7 +968,10 @@ def _make_kernel(spec: KernelSpec):
                      bj=bj, c_val=c_val, iv=iv, ilen_rem=ilen_rem,
                      i_next=i_next, r_rem=r_rem, r_val=r_val,
                      **{f"sw{k}": stw[k] for k in range(16)},
-                     **(gvu if EB > 1 and W > 0 else {}))
+                     **(gvu if EB > 1 and W > 0 else {}),
+                     **({"cur_g": cur_g_n, "cur_imm": cur_imm_n,
+                         "hdmiss": hdm | hdmiss_n}
+                        if LAZY else {}))
             return pack(g)
 
         def body_unrolled(cc):
@@ -1038,6 +1130,8 @@ class PreparedDecode:
     # (pred's list is correct after this many kernel passes; from the
     # header refs — per-element convergence, so resolve runs max(depth)
     # passes and extracts only the lists that just became correct)
+    node_depth_max: int = 0   # max D over all nodes (hub finalize needs a
+    # decode whose store is fully correct, i.e. pass node_depth_max)
     # device-CSR assembly index (plan_csr_index): per-arc tiled-store
     # gather positions + hub arc CSR destinations
     csr_idx4: Optional[jnp.ndarray] = None
@@ -1315,6 +1409,28 @@ def _plan_hub_assembly(h, hub_nodes, hco, hsu, outd, cum, bounds,
         cop_rounds=None, src_chunk=src_chunk, src_hub=src_hub,
         depth=depth, finalized=False, cold_compact=cc,
     )
+
+
+def _chain_depths(refs, bounds, maxref: int):
+    """Per-node cold-decode correctness pass: node x's FINAL list is
+    correct in the store after pass D[x] (D = 1 + number of chunk-boundary
+    crossings on its reference chain; chains are <= max_ref_count hops,
+    BVGraph.java:455).  Vectorized fixpoint in maxref rounds."""
+    first = int(bounds[0])
+    n_end = int(bounds[-1])
+    cnt = (bounds[1:] - bounds[:-1]).astype(np.int64)
+    cs = np.repeat(bounds[:-1], cnt)          # chunk start per node
+    nn = n_end - first
+    x = np.arange(first, n_end, dtype=np.int64)
+    r = np.asarray(refs[first:n_end], dtype=np.int64)
+    valid = r > 0
+    src = x - r
+    src_i = np.clip(src - first, 0, max(nn - 1, 0))
+    cross = (src < cs).astype(np.int16)
+    D = np.ones(nn, dtype=np.int16)
+    for _ in range(max(maxref, 1)):
+        D = np.where(valid, D[src_i] + cross, D).astype(np.int16)
+    return D, first
 
 
 def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
@@ -1638,6 +1754,13 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                     within = (np.arange(int(ci.sum()), dtype=np.int64)
                               - np.repeat(np.cumsum(ci) - ci, ci))
                     hdst = np.repeat(dst0[ina], ci) + within
+    wf_depth = None
+    node_depth_max = 0
+    if cold and refs is not None and len(wf_nodes):
+        D, d_first = _chain_depths(refs, bounds, settings.max_ref_count)
+        wf_depth = D[np.clip(wf_nodes - d_first, 0, max(len(D) - 1, 0))
+                     ].astype(np.int16)
+        node_depth_max = int(D.max(initial=1))
     _tr('halo pack')
 
     # halo image: scatter the sparse halo values straight into the kernel's
@@ -1686,6 +1809,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         cold=cold, resolved=not (cold and (len(wf_dst) or hub is not None)),
         wf_dst0=wf_dst, wf_src0=wf_src,
         wf_nodes=wf_nodes, wf_cnt=wf_cnt, wf_chunk=wf_chunk,
+        wf_depth=wf_depth, node_depth_max=node_depth_max,
         _data=data, _settings=settings)
     return prep
 
@@ -1961,6 +2085,17 @@ def resolve_halos(prep: PreparedDecode, data=None, settings=None,
     positions (finalize_hub).  Returns the number of kernel passes run."""
     if not prep.cold or prep.resolved:
         return 0
+    import os as _os
+    import time as _time
+    _trace = bool(_os.environ.get("WG_RESOLVE_TRACE"))
+    _t0 = _time.time()
+
+    def _tr(tag):
+        nonlocal _t0
+        if _trace:
+            t = _time.time()
+            print(f"[resolve] {tag}: {t - _t0:.2f}s", flush=True)
+            _t0 = t
     data = prep._data if data is None else data
     settings = prep._settings if settings is None else settings
     maxref = int(getattr(settings, "max_ref_count", 3) or 3)
@@ -1982,11 +2117,65 @@ def resolve_halos(prep: PreparedDecode, data=None, settings=None,
 
     have_wf = prep.wf_dst0 is not None and len(prep.wf_dst0) > 0
     base_init = prep.init_out
-    if have_wf:
+    use_depth = (have_wf and prep.wf_depth is not None
+                 and len(prep.wf_depth) == len(prep.wf_dst0))
+    if have_wf and not use_depth:
         dst4, src4 = _expand4(prep.wf_dst0, prep.wf_src0, prep.wf_cnt)
     prev = None
     passes = 0
     o = None
+    if use_depth:
+        # per-element convergence: list values become correct at pass =
+        # their chain depth; each list is extracted exactly ONCE, at that
+        # pass (instead of re-extracting everything every pass), and the
+        # pass count is the actual max depth, not max_ref_count + 1
+        maxD = int(prep.wf_depth.max(initial=1))
+        need_final = prep.hub is not None and not prep.hub.finalized
+        for k in range(1, min(maxD, max_passes) + 1):
+            o, dg = decode_chunked(prep, interpret=interpret)
+            jax.block_until_ready(o)
+            _tr(f"decode pass {k}")
+            passes += 1
+            if passes == 1:
+                errs = check_diag(prep, np.asarray(dg))
+                if (errs != 0).any() and prep.wf_chunk is not None:
+                    bad = errs[prep.wf_chunk] != 0
+                    if bad.any():
+                        vals = _host_pred_values(
+                            prep.wf_nodes[bad], prep.wf_cnt[bad], data,
+                            settings, prep.offsets, prep.outdegrees,
+                            prep.cum_arcs)
+                        ci = prep.wf_cnt[bad]
+                        within = (np.arange(int(ci.sum()), dtype=np.int64)
+                                  - np.repeat(np.cumsum(ci) - ci, ci))
+                        bad_el = np.repeat(prep.wf_dst0[bad], ci) + within
+                        prep.init_out = _wf_init(
+                            prep.init_out, jnp.asarray(_to4_np(bad_el, V)),
+                            jnp.asarray(vals.astype(np.int32)))
+                        keep = ~bad
+                        for f in ("wf_dst0", "wf_src0", "wf_nodes",
+                                  "wf_cnt", "wf_chunk", "wf_depth"):
+                            setattr(prep, f, getattr(prep, f)[keep])
+            sel = np.flatnonzero(prep.wf_depth == k)
+            if len(sel):
+                d4, s4 = _expand4(prep.wf_dst0[sel], prep.wf_src0[sel],
+                                  prep.wf_cnt[sel])
+                prep.init_out = _wf_init(prep.init_out, d4,
+                                         _wf_extract(o, s4))
+                jax.block_until_ready(prep.init_out)
+            _tr(f"extract/init pass {k} ({len(sel)} lists)")
+        if need_final:
+            # one decode with the fully-correct init: the store is then
+            # correct for EVERY node, which hub finalize requires
+            o, dg = decode_chunked(prep, interpret=interpret)
+            jax.block_until_ready(o)
+            _tr("final decode")
+            passes += 1
+        if prep.hub is not None and not prep.hub.finalized:
+            finalize_hub(prep, o)
+            _tr("finalize_hub")
+        prep.resolved = True
+        return passes
     for _ in range(max_passes):
         o, dg = decode_chunked(prep, interpret=interpret)
         passes += 1
