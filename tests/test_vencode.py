@@ -130,6 +130,9 @@ def test_encode_device_plan_byte_identical():
     settings = BVGraphSettings()
     plan = EncodeDevicePlan(co, su, settings)
     gbytes, gbits, starts, refs, rcs, stats = plan.encode()
+    # the all-device selection scan must agree with the native pass
+    g2 = plan.encode(selection="scan")
+    assert g2[0] == gbytes and np.array_equal(g2[3], refs)
     ng, nbits, _o, _ob, _st = native.bv_encode(co, su, settings, threads=1)
     assert gbits == nbits
     assert np.array_equal(np.frombuffer(gbytes, np.uint8),

@@ -199,7 +199,13 @@ class DenseRoundPlan:
             self.classes.append((width, jnp.asarray(rows.astype(np.int32)),
                                  tgt))
 
-        for c in range(0, max_class):
+        # classes below width 32 are padded UP to 32: any (big, <128)
+        # device array risks a 8-32x padded T(8,128) layout copy
+        # (measured OOM at uk scale), so every class works in (R4, X)
+        # transposed form with widths >= 32
+        sel = np.flatnonzero(nz & (cls <= 5))
+        add_class(32, sel, co[sel], deg[sel])
+        for c in range(6, max_class):
             sel = np.flatnonzero(nz & (cls == c))
             add_class(1 << c, sel, co[sel], deg[sel])
         # widest class: nodes beyond 2^max_class split into width-sized
@@ -217,32 +223,40 @@ class DenseRoundPlan:
         self.n = n
 
     # flat padded rows per dispatch: bounds the gather+reduction transient
-    # to ~1-2 GB so rounds coexist with a resident decode plan in HBM
-    CHUNK_FLAT = 48 << 20
+    # so rounds coexist with a resident decode plan in HBM
+    CHUNK_FLAT = 16 << 20
 
     def round(self, packed):
-        """packed (n, R/4) uint32 -> merged packed registers."""
+        """packed (n, R/4) uint32 -> merged packed registers.
+
+        All intermediates are (R4, X)-transposed: the big dimension stays
+        minor, so nothing acquires a padded T(8,128) layout (an (X, 4)
+        copy pads 32x — 25 GB at uk scale, measured)."""
+        R4 = packed.shape[1]
+        packed_t = packed.T                     # (R4, n): one relayout
         out = packed
         for width, rows, tgt in self.classes:
             k = int(tgt.shape[0]) // width
             step_k = max(1, self.CHUNK_FLAT // width)
             for lo in range(0, k, step_k):
                 hi = min(lo + step_k, k)
-                # (chunk*width, R/4) flat; tree-reduce by CONTIGUOUS pair
-                # reshape (k, 2*R4) -> halves (stride-2 row slices measure
-                # like gathers, ~10 ns/row — the reshape halves are plain
-                # bandwidth).  Pairs never cross a node: width-aligned.
-                g = jnp.take(packed, tgt[lo * width:hi * width], axis=0,
+                kk = hi - lo
+                # (R4, kk, width) gather along the node axis, reduction
+                # by last-dim halving: (w, r) pairs with (w + width/2, r)
+                # — max is commutative so any pairing tree is exact
+                g = jnp.take(packed_t, tgt[lo * width:hi * width], axis=1,
                              mode="fill", fill_value=0)
-                R4 = g.shape[1]
-                w = width
-                while w > 1:
-                    g = g.reshape(g.shape[0] // 2, 2 * R4)
-                    g = _swar_max(g[:, :R4], g[:, R4:])
-                    w //= 2
+                g = g.reshape(R4, kk, width)
+                c = width
+                while c > 1:
+                    half = c // 2
+                    g = _swar_max(g[:, :, :half], g[:, :, half:])
+                    c = half
+                merged = g[:, :, 0].T           # (kk, R4)
                 rs = rows[lo:hi]
                 out = out.at[rs].set(
-                    _swar_max(g, jnp.take(out, rs, axis=0)), mode="drop")
+                    _swar_max(merged, jnp.take(out, rs, axis=0)),
+                    mode="drop")
         return out
 
 

@@ -422,8 +422,9 @@ def _make_kernel(spec: KernelSpec):
             **{f"sw{k}": zi for k in range(16)},
             **({f"gv{j}": zi for j in range(8)}
                if spec.burst > 1 and W > 0 else {}),
-            **({"cur_g": zi - 1, "cur_imm": jnp.zeros((8, 128), bool),
-                "hdmiss": jnp.zeros((8, 128), bool)}
+            # flag carries are int32 0/1: Mosaic rejects i1 vector
+            # carries on real hardware ("unsupported target bitwidth")
+            **({"cur_g": zi - 1, "cur_imm": zi, "hdmiss": zi}
                if spec.lazy_read and spec.burst > 1 and W > 0 else {}),
         )
         keys = tuple(sorted(carry0.keys()))
@@ -458,8 +459,9 @@ def _make_kernel(spec: KernelSpec):
                     c_val0, cur_g0, imm0, hdm0 = (ops[0], ops[1], ops[2],
                                                   ops[3])
                     gv0 = ops[4:]
+                    en = hdm0 != 0
                     row = g["ref_row"] + g["c_idx"]
-                    gsel = jnp.where(hdm0, row >> 3, -1)
+                    gsel = jnp.where(en, row >> 3, -1)
                     jsel = row & 7
                     m_g = rows_G == gsel[None]
                     v = jnp.zeros((8, 128), jnp.int32)
@@ -467,16 +469,16 @@ def _make_kernel(spec: KernelSpec):
                     for j in range(8):
                         vb = jnp.sum(jnp.where(m_g, out_ref[:, j], 0),
                                      axis=0)
-                        gv1.append(jnp.where(hdm0, vb, gv0[j]))
+                        gv1.append(jnp.where(en, vb, gv0[j]))
                         v = jnp.where(jsel == j, vb, v)
-                    return (jnp.where(hdm0, v, c_val0),
-                            jnp.where(hdm0, row >> 3, cur_g0),
+                    return (jnp.where(en, v, c_val0),
+                            jnp.where(en, row >> 3, cur_g0),
                             imm0 | hdm0,   # swept groups are < fw: immutable
                             jnp.zeros_like(hdm0), *gv1)
 
                 ops = (g["c_val"], g["cur_g"], g["cur_imm"], hdm,
                        *[g[f"gv{j}"] for j in range(8)])
-                do = jnp.any(hdm) & (
+                do = jnp.any(hdm != 0) & (
                     (g["step"] & spec.sweep_mask) == spec.sweep_mask)
                 ops = jax.lax.cond(do, _sweep, lambda o: o, ops)
                 g = dict(g)
@@ -484,7 +486,7 @@ def _make_kernel(spec: KernelSpec):
                     ops[0], ops[1], ops[2], ops[3])
                 for j in range(8):
                     g[f"gv{j}"] = ops[4 + j]
-                can_emit = can & ~hdm
+                can_emit = can & (hdm == 0)
             else:
                 can_emit = can
 
@@ -903,14 +905,14 @@ def _make_kernel(spec: KernelSpec):
                     # < fw); stage snapshots rot as later rows land in
                     # the shared group — they serve bursts for one step
                     # and are re-captured on every in-stage serving
-                    in_gv = (creload & ~in_stage & g["cur_imm"]
+                    in_gv = (creload & ~in_stage & (g["cur_imm"] != 0)
                              & (gsel_n == g["cur_g"]))
                     c_val = jnp.where(in_stage, stage_v,
                                       jnp.where(in_gv, gv_v, c_val))
                     gvu = {f"gv{j}": jnp.where(in_stage, sv[j], gvo[j])
                            for j in range(8)}
                     cur_g_n = jnp.where(in_stage, gsel_n, g["cur_g"])
-                    cur_imm_n = jnp.where(in_stage, False, g["cur_imm"])
+                    cur_imm_n = jnp.where(in_stage, 0, g["cur_imm"])
                     hdmiss_n = creload & ~in_stage & ~in_gv
                 else:
                     # eager head (re)load from the lane's own output
@@ -970,7 +972,7 @@ def _make_kernel(spec: KernelSpec):
                      **{f"sw{k}": stw[k] for k in range(16)},
                      **(gvu if EB > 1 and W > 0 else {}),
                      **({"cur_g": cur_g_n, "cur_imm": cur_imm_n,
-                         "hdmiss": hdm | hdmiss_n}
+                         "hdmiss": hdm | jnp.where(hdmiss_n, 1, 0)}
                         if LAZY else {}))
             return pack(g)
 
@@ -1911,7 +1913,29 @@ def _wf_extract(out_cols, src4):
 @jax.jit
 def _wf_init(base_init, dst4, halo_vals):
     shape = base_init.shape
-    return (base_init.reshape(-1).at[dst4].set(halo_vals)
+    return (base_init.reshape(-1).at[dst4].set(halo_vals, mode="drop")
+            .reshape(shape))
+
+
+@functools.partial(jax.jit, static_argnames=("total_b", "V"))
+def _expand4_dev(dst0, src0, ccum, e_real, total_b: int, V: int):
+    """Bucket-padded element expansion: shapes are pow2 buckets so every
+    resolve pass (and every graph of similar scale) reuses ONE compiled
+    program — per-subset shapes cost a ~10 s remote compile each.
+    Elements past e_real get an out-of-range destination (scatter mode
+    "drop")."""
+    d = _expand_to4(dst0, ccum, total_b, V)
+    s = _expand_to4(src0, ccum, total_b, V)
+    pad = jnp.arange(total_b, dtype=jnp.int32) >= e_real
+    return jnp.where(pad, jnp.int32(1 << 30), d), jnp.where(pad, 0, s)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _wf_init_inplace(base_init, dst4, halo_vals):
+    """Donating variant for the incremental depth-path updates (callers
+    always rebind prep.init_out; avoids a multi-GB copy per pass)."""
+    shape = base_init.shape
+    return (base_init.reshape(-1).at[dst4].set(halo_vals, mode="drop")
             .reshape(shape))
 
 
@@ -2106,14 +2130,23 @@ def resolve_halos(prep: PreparedDecode, data=None, settings=None,
 
     def _expand4(dst0, src0, cnt):
         """Per-list lane-major bases -> per-element tiled-flat device
-        index pair (one _expand_device + elementwise math, ~ms)."""
+        index pair, bucket-padded to pow2 shapes (one compiled program
+        per bucket instead of one per data-dependent subset shape)."""
         ccum = np.zeros(len(cnt) + 1, dtype=np.int32)
         np.cumsum(cnt, out=ccum[1:])
         total = int(ccum[-1])
-        ccum_d = jnp.asarray(ccum)
-        d = _expand_to4(jnp.asarray(dst0.astype(np.int32)), ccum_d, total, V)
-        s = _expand_to4(jnp.asarray(src0.astype(np.int32)), ccum_d, total, V)
-        return d, s
+        S_b = 1 << max(int(np.ceil(np.log2(max(len(cnt), 1)))), 6)
+        E_b = 1 << max(int(np.ceil(np.log2(max(total, 1)))), 10)
+        dst_p = np.zeros(S_b, np.int32)
+        dst_p[:len(dst0)] = dst0
+        src_p = np.zeros(S_b, np.int32)
+        src_p[:len(src0)] = src0
+        ccum_p = np.full(S_b + 1, total, dtype=np.int32)
+        ccum_p[:len(ccum)] = ccum
+        return _expand4_dev(jnp.asarray(dst_p), jnp.asarray(src_p),
+                            jnp.asarray(ccum_p),
+                            jnp.asarray(np.int32(total)),
+                            total_b=E_b, V=V)
 
     have_wf = prep.wf_dst0 is not None and len(prep.wf_dst0) > 0
     base_init = prep.init_out
@@ -2149,7 +2182,7 @@ def resolve_halos(prep: PreparedDecode, data=None, settings=None,
                         within = (np.arange(int(ci.sum()), dtype=np.int64)
                                   - np.repeat(np.cumsum(ci) - ci, ci))
                         bad_el = np.repeat(prep.wf_dst0[bad], ci) + within
-                        prep.init_out = _wf_init(
+                        prep.init_out = _wf_init_inplace(
                             prep.init_out, jnp.asarray(_to4_np(bad_el, V)),
                             jnp.asarray(vals.astype(np.int32)))
                         keep = ~bad
@@ -2160,8 +2193,8 @@ def resolve_halos(prep: PreparedDecode, data=None, settings=None,
             if len(sel):
                 d4, s4 = _expand4(prep.wf_dst0[sel], prep.wf_src0[sel],
                                   prep.wf_cnt[sel])
-                prep.init_out = _wf_init(prep.init_out, d4,
-                                         _wf_extract(o, s4))
+                prep.init_out = _wf_init_inplace(prep.init_out, d4,
+                                                 _wf_extract(o, s4))
                 jax.block_until_ready(prep.init_out)
             _tr(f"extract/init pass {k} ({len(sel)} lists)")
         if need_final:

@@ -452,37 +452,51 @@ def _is_first_np(co, m):
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("W", "maxref"))
-def _select_refs_dev(costs, outd, W: int, maxref: int):
+@functools.partial(jax.jit, static_argnames=("W", "maxref", "B"))
+def _select_refs_dev(costs, outd, W: int, maxref: int, B: int = 64):
     """Greedy reference selection as a device lax.scan (the native
     wg_select_refs semantics, BVGraph.java:2256-2270; single stream, no
     window resets).  Carries the last-W refcounts/outdegrees as small
     shift registers — no dynamic indexing, so nothing gathers inside the
-    loop (docs/TPU_RUNTIME_NOTES.md rule)."""
+    loop (docs/TPU_RUNTIME_NOTES.md rule).  B nodes are processed per
+    scan step with a statically unrolled inner loop: the per-step scan
+    latency (~us on this runtime) amortizes over the block."""
     INF = jnp.int64(1) << jnp.int64(62)
     rr = jnp.arange(W, dtype=_I32)
+    n = costs.shape[0]
+    npad = -(-max(n, 1) // B) * B
+    costs_p = jnp.concatenate(
+        [costs, jnp.full((npad - n, W + 1), -1, costs.dtype)])
+    outd_p = jnp.concatenate(
+        [outd.astype(_I32), jnp.zeros(npad - n, _I32)])
 
     def step(carry, xs):
         rc_rel, wlen_rel = carry          # (W,): node x-1-r state
-        cost_row, dx = xs                 # (W+1,) int64, () int32
-        valid = jnp.concatenate([
-            jnp.ones((1,), bool),
-            (rc_rel < maxref) & (wlen_rel != 0)]) & (cost_row >= 0)
-        c = jnp.where(valid, cost_row, INF)
-        best_r = jnp.argmin(c).astype(_I32)   # ties -> lowest r (native)
-        rc_prev = jnp.sum(jnp.where(rr == best_r - 1, rc_rel, 0),
-                          dtype=_I32)
-        rc_new = jnp.where(best_r == 0, 0, rc_prev + 1).astype(_I32)
-        refs_x = jnp.where(dx == 0, 0, best_r).astype(_I32)
-        rc_out = jnp.where(dx == 0, 0, rc_new).astype(_I32)
-        rc_rel = jnp.concatenate([rc_out[None], rc_rel[:-1]])
-        wlen_rel = jnp.concatenate([dx[None], wlen_rel[:-1]])
-        return (rc_rel, wlen_rel), (refs_x, rc_out)
+        crow, dxv = xs                    # (B, W+1), (B,)
+        refs_b = []
+        rcs_b = []
+        for i in range(B):
+            cost_row = crow[i]
+            dx = dxv[i]
+            valid = jnp.concatenate([
+                jnp.ones((1,), bool),
+                (rc_rel < maxref) & (wlen_rel != 0)]) & (cost_row >= 0)
+            c = jnp.where(valid, cost_row, INF)
+            best_r = jnp.argmin(c).astype(_I32)  # ties -> lowest r
+            rc_prev = jnp.sum(jnp.where(rr == best_r - 1, rc_rel, 0),
+                              dtype=_I32)
+            rc_new = jnp.where(best_r == 0, 0, rc_prev + 1).astype(_I32)
+            refs_b.append(jnp.where(dx == 0, 0, best_r).astype(_I32))
+            rcs_b.append(jnp.where(dx == 0, 0, rc_new).astype(_I32))
+            rc_rel = jnp.concatenate([rcs_b[-1][None], rc_rel[:-1]])
+            wlen_rel = jnp.concatenate([dx[None], wlen_rel[:-1]])
+        return (rc_rel, wlen_rel), (jnp.stack(refs_b), jnp.stack(rcs_b))
 
     carry0 = (jnp.zeros(W, _I32), jnp.zeros(W, _I32))
-    _, (refs, rcs) = jax.lax.scan(step, carry0,
-                                  (costs, outd.astype(_I32)))
-    return refs, rcs
+    _, (refs, rcs) = jax.lax.scan(
+        step, carry0, (costs_p.reshape(npad // B, B, W + 1),
+                       outd_p.reshape(npad // B, B)))
+    return refs.reshape(npad)[:n], rcs.reshape(npad)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n"))
@@ -523,9 +537,16 @@ class EncodeDevicePlan:
                                  .astype(np.int32))
             self.outd = jnp.asarray(np.diff(co).astype(np.int32))
 
-    def encode(self):
+    def encode(self, selection: str = "native"):
         """Returns (graph_bytes, graph_bits, node_starts int64[n],
-        refs int32[n], ref_counts int32[n], stats int64[138])."""
+        refs int32[n], ref_counts int32[n], stats int64[138]).
+
+        ``selection``: "native" downloads the device cost matrix once and
+        runs the host greedy pass (wg_select_refs) — the sequential
+        recurrence executes as tiny-vector op chains on device, which
+        measured ~5 us/node on the tunnel runtime; "scan" keeps it fully
+        on-device (the block-unrolled lax.scan) for environments where
+        host<->device bandwidth is the scarcer resource."""
         spec = self.spec
         st = self.settings
         with jax.enable_x64(True):
@@ -539,8 +560,14 @@ class EncodeDevicePlan:
             cm = _cost_matrix_dev(seg, self.v, seg, is_first, first_idx,
                                   last_idx, down, up, self.co64, None,
                                   spec_t)
-            refs, rcs = _select_refs_dev(cm, self.outd, W=spec["W"],
-                                         maxref=st.max_ref_count)
+            if selection == "native":
+                refs_np, rcs_np = select_refs(
+                    np.asarray(cm), np.diff(self.co_host), st)
+                refs = jnp.asarray(np.asarray(refs_np, dtype=np.int32))
+                rcs = jnp.asarray(np.asarray(rcs_np, dtype=np.int32))
+            else:
+                refs, rcs = _select_refs_dev(cm, self.outd, W=spec["W"],
+                                             maxref=st.max_ref_count)
             ub_bits = 16 * self.m + 70 * self.n + 128
             for _ in range(3):
                 nw = _PAD_WORDS + (-(-ub_bits // 32))
