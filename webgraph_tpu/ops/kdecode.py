@@ -770,6 +770,34 @@ def _make_kernel(spec: KernelSpec):
             if RB:
                 cnt = cnt + jnp.where(emit2, 1, 0)
                 vals_t[1] = jnp.where(emit2, rv1, vals_t[1])
+            RB3 = spec.res_burst > 2 and EB > 2
+            RB4 = spec.res_burst > 3 and EB > 3
+            if RB3:
+                # third chained residual: rv2 known as soon as gap2 lands;
+                # emit it this step while it still beats the other heads
+                rv2 = rv1 + vi2 + 1
+                emit3 = read2 & (rv2 < lim_r) & (g["r_rem"] > 2) \
+                    & (avail >= 64)
+                read3 = emit3 & (g["r_rem"] > 3)
+                kind3 = jnp.where(read3, spec.residual_coding, 0)
+                value3, adv3, err = read_code(b0, b1, b2, kind3, err)
+                b0, b1, b2, avail = consume(b0, b1, b2, avail,
+                                            jnp.where(read3, adv3, 0))
+                vi3 = _i32(value3)
+                cnt = cnt + jnp.where(emit3, 1, 0)
+                vals_t[2] = jnp.where(emit3, rv2, vals_t[2])
+            if RB4:
+                rv3 = rv2 + vi3 + 1
+                emit4 = read3 & (rv3 < lim_r) & (g["r_rem"] > 3) \
+                    & (avail >= 64)
+                read4 = emit4 & (g["r_rem"] > 4)
+                kind4 = jnp.where(read4, spec.residual_coding, 0)
+                value4, adv4, err = read_code(b0, b1, b2, kind4, err)
+                b0, b1, b2, avail = consume(b0, b1, b2, avail,
+                                            jnp.where(read4, adv4, 0))
+                vi4 = _i32(value4)
+                cnt = cnt + jnp.where(emit4, 1, 0)
+                vals_t[3] = jnp.where(emit4, rv3, vals_t[3])
             if spec.hdr_fuse:
                 H["err"] = err
                 nst = header_round(H, hdr2 & any2, nst, value2, vi2)
@@ -811,6 +839,12 @@ def _make_kernel(spec: KernelSpec):
                          - jnp.where(emit2, 1, 0))
                 r_val = jnp.where(read2, rv1 + vi2 + 1,
                                   jnp.where(read_res, rv1, r_val))
+                if RB3:
+                    r_rem = r_rem - jnp.where(emit3, 1, 0)
+                    r_val = jnp.where(read3, rv2 + vi3 + 1, r_val)
+                if RB4:
+                    r_rem = r_rem - jnp.where(emit4, 1, 0)
+                    r_val = jnp.where(read4, rv3 + vi4 + 1, r_val)
             else:
                 r_rem = jnp.where(win_r, r_rem - 1, r_rem)
                 r_val = jnp.where(read_res, r_val + vi + 1, r_val)
@@ -1444,7 +1478,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        v_cap: int = 512, r_cap: int = 160,
                        bmax: int = 32, imax: int = 32,
                        unroll: Optional[int] = None, burst: int = 4,
-                       res_burst: int = 2,
+                       res_burst: int = 4,
                        node_base: int = 0, first_node: int = 0,
                        hub_device: bool = True,
                        ) -> Optional[PreparedDecode]:
