@@ -240,3 +240,28 @@ def test_labelobl_cache(tmp_path):
     for x, succ, labs in again.iter_labelled():
         for t, l in zip(succ.tolist(), labs):
             assert l.value == x + t
+
+
+def test_integer_triples_graph(tmp_path):
+    """The reference's worked example (examples/
+    IntegerTriplesArcLabelledImmutableGraph.java): triples -> labelled
+    graph -> BVGraph + BitStreamArcLabelledImmutableGraph roundtrip."""
+    import io
+
+    from webgraph_tpu.labelling import (integer_triples_graph,
+                                        store_integer_triples)
+
+    g = integer_triples_graph([(0, 2, 5), (2, 1, 0), (0, 1, 7)])
+    assert g.num_nodes == 3 and g.num_arcs == 3
+    assert g.successors(0).tolist() == [1, 2]
+    assert [l.value for l in g.labels_of(0)] == [7, 5]
+    with pytest.raises(ValueError):
+        integer_triples_graph([(0, 1, 1), (0, 1, 2)])  # multiple arcs
+
+    base = str(tmp_path / "tr")
+    store_integer_triples(io.StringIO("0\t2\t5\n2\t1\t0\n0\t1\t7\n"), base)
+    from webgraph_tpu.core import graph as core
+    loaded = core.load(base)
+    assert loaded.num_nodes == 3
+    assert loaded.successors(0).tolist() == [1, 2]
+    assert [l.value for l in loaded.labels_of(0)] == [7, 5]

@@ -35,10 +35,12 @@ from .graph import (
     relabel,
     union_labelled,
 )
+from .triples import integer_triples_graph, store_integer_triples
 
 __all__ = [
     "Label", "FixedWidthIntLabel", "FixedWidthIntListLabel",
     "FixedWidthLongListLabel", "GammaCodedIntLabel", "label_from_spec",
     "ArcLabelledGraph", "BitStreamArcLabelledGraph", "union_labelled",
     "relabel", "LabelSemiring", "integer_label_filter",
+    "integer_triples_graph", "store_integer_triples",
 ]
