@@ -770,34 +770,28 @@ def _make_kernel(spec: KernelSpec):
             if RB:
                 cnt = cnt + jnp.where(emit2, 1, 0)
                 vals_t[1] = jnp.where(emit2, rv1, vals_t[1])
-            RB3 = spec.res_burst > 2 and EB > 2
-            RB4 = spec.res_burst > 3 and EB > 3
-            if RB3:
-                # third chained residual: rv2 known as soon as gap2 lands;
-                # emit it this step while it still beats the other heads
-                rv2 = rv1 + vi2 + 1
-                emit3 = read2 & (rv2 < lim_r) & (g["r_rem"] > 2) \
-                    & (avail >= 64)
-                read3 = emit3 & (g["r_rem"] > 3)
-                kind3 = jnp.where(read3, spec.residual_coding, 0)
-                value3, adv3, err = read_code(b0, b1, b2, kind3, err)
-                b0, b1, b2, avail = consume(b0, b1, b2, avail,
-                                            jnp.where(read3, adv3, 0))
-                vi3 = _i32(value3)
-                cnt = cnt + jnp.where(emit3, 1, 0)
-                vals_t[2] = jnp.where(emit3, rv2, vals_t[2])
-            if RB4:
-                rv3 = rv2 + vi3 + 1
-                emit4 = read3 & (rv3 < lim_r) & (g["r_rem"] > 3) \
-                    & (avail >= 64)
-                read4 = emit4 & (g["r_rem"] > 4)
-                kind4 = jnp.where(read4, spec.residual_coding, 0)
-                value4, adv4, err = read_code(b0, b1, b2, kind4, err)
-                b0, b1, b2, avail = consume(b0, b1, b2, avail,
-                                            jnp.where(read4, adv4, 0))
-                vi4 = _i32(value4)
-                cnt = cnt + jnp.where(emit4, 1, 0)
-                vals_t[3] = jnp.where(emit4, rv3, vals_t[3])
+            # deeper chained residuals (3rd..res_burst-th): each head
+            # rv_t is known as soon as the previous gap lands; emit it this
+            # step while it still beats the other merge heads and buffered
+            # bits allow an exact speculative read of its own gap
+            res_chain = []
+            if RB and spec.res_burst > 2:
+                prev_read, prev_rv, prev_vi = read2, rv1, vi2
+                for t in range(2, min(spec.res_burst, EB)):
+                    rv_t = prev_rv + prev_vi + 1
+                    emit_t = prev_read & (rv_t < lim_r) \
+                        & (g["r_rem"] > t) & (avail >= 64)
+                    read_t = emit_t & (g["r_rem"] > t + 1)
+                    kind_t = jnp.where(read_t, spec.residual_coding, 0)
+                    value_t, adv_t, err = read_code(b0, b1, b2, kind_t,
+                                                    err)
+                    b0, b1, b2, avail = consume(
+                        b0, b1, b2, avail, jnp.where(read_t, adv_t, 0))
+                    vi_t = _i32(value_t)
+                    cnt = cnt + jnp.where(emit_t, 1, 0)
+                    vals_t[t] = jnp.where(emit_t, rv_t, vals_t[t])
+                    res_chain.append((emit_t, read_t, rv_t, vi_t))
+                    prev_read, prev_rv, prev_vi = read_t, rv_t, vi_t
             if spec.hdr_fuse:
                 H["err"] = err
                 nst = header_round(H, hdr2 & any2, nst, value2, vi2)
@@ -839,12 +833,9 @@ def _make_kernel(spec: KernelSpec):
                          - jnp.where(emit2, 1, 0))
                 r_val = jnp.where(read2, rv1 + vi2 + 1,
                                   jnp.where(read_res, rv1, r_val))
-                if RB3:
-                    r_rem = r_rem - jnp.where(emit3, 1, 0)
-                    r_val = jnp.where(read3, rv2 + vi3 + 1, r_val)
-                if RB4:
-                    r_rem = r_rem - jnp.where(emit4, 1, 0)
-                    r_val = jnp.where(read4, rv3 + vi4 + 1, r_val)
+                for emit_t, read_t, rv_t, vi_t in res_chain:
+                    r_rem = r_rem - jnp.where(emit_t, 1, 0)
+                    r_val = jnp.where(read_t, rv_t + vi_t + 1, r_val)
             else:
                 r_rem = jnp.where(win_r, r_rem - 1, r_rem)
                 r_val = jnp.where(read_res, r_val + vi + 1, r_val)
