@@ -214,8 +214,15 @@ def test_cnr2000_full_roundtrip_bit_identical(cnr2000_basename, tmp_path):
     g = BVGraph.load(cnr2000_basename)
     csr = g.to_csr()
     base = str(tmp_path / "full")
-    props = BVGraph.store(csr, base, settings=BVGraphSettings(
-        window_size=7, max_ref_count=3, min_interval_length=3, zeta_k=3))
+    # num_threads=1: the golden file is a SEQUENTIAL encode.  Parallel
+    # compression resets the reference window at shard boundaries — in the
+    # reference too (BVGraph.java:2373-2483) — so N-thread output is a
+    # different (equally valid) bit stream; thread-count must not leak
+    # machine dependence into the byte-identity oracle.
+    props = BVGraph.store(csr, base, num_threads=1,
+                          settings=BVGraphSettings(
+                              window_size=7, max_ref_count=3,
+                              min_interval_length=3, zeta_k=3))
     for ext in (".graph", ".offsets"):
         got = hashlib.md5(open(base + ext, "rb").read()).hexdigest()
         ref = hashlib.md5(open(cnr2000_basename + ext, "rb").read()).hexdigest()

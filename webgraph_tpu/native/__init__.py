@@ -16,7 +16,7 @@ import numpy as np
 
 __all__ = ["available", "decode_offset_stream", "decode_outdegrees",
            "bv_decode_all", "bv_encode", "build", "StreamEncoder",
-           "bv_fill_ranges"]
+           "bv_fill_ranges", "bv_scan_hdr"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libwgnative.so")
 _lib: Optional[ctypes.CDLL] = None
@@ -47,6 +47,8 @@ def _load():
             lib.wg_select_refs.restype = ctypes.c_int64
         if hasattr(lib, "wg_bv_scan_refs"):
             lib.wg_bv_scan_refs.restype = ctypes.c_int64
+        if hasattr(lib, "wg_bv_scan_hdr"):
+            lib.wg_bv_scan_hdr.restype = ctypes.c_int64
         if hasattr(lib, "wg_parse_arcs"):
             lib.wg_parse_arcs.restype = ctypes.c_int64
         _lib = lib
@@ -209,6 +211,42 @@ def bv_scan_refs(data: np.ndarray, offsets: np.ndarray, settings,
     if rc < 0:
         raise RuntimeError(f"native ref scan failed: {rc}")
     return refs[:n]
+
+
+def bv_scan_hdr(data: np.ndarray, offsets: np.ndarray, settings,
+                threads: int = 0):
+    """Header-prefix scan -> (refs, block_count, interval_count) int32[n].
+
+    One threaded pass over the entry headers (outdegree / reference /
+    blocks / interval count, BVGraph.java:995-1059); the decode-kernel
+    plan right-sizes its per-step block/interval scratch sweeps from the
+    maxima.  Returns None if the library predates the scan."""
+    lib = _load()
+    if not hasattr(lib, "wg_bv_scan_hdr"):
+        return None
+    data = _padded(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    refs = np.zeros(max(n, 1), dtype=np.int32)
+    bc = np.zeros(max(n, 1), dtype=np.int32)
+    icnt = np.zeros(max(n, 1), dtype=np.int32)
+    codings = np.asarray([settings.outdegree_coding,
+                          settings.reference_coding,
+                          settings.block_count_coding,
+                          settings.block_coding,
+                          settings.residual_coding], dtype=np.int32)
+    rc = lib.wg_bv_scan_hdr(
+        _ptr(data), ctypes.c_int64(len(data) - 16),
+        _ptr(offsets, ctypes.c_int64), ctypes.c_int64(n),
+        ctypes.c_int(settings.window_size),
+        ctypes.c_int(settings.min_interval_length),
+        ctypes.c_int(settings.zeta_k),
+        _ptr(codings, ctypes.c_int), _ptr(refs, ctypes.c_int32),
+        _ptr(bc, ctypes.c_int32), _ptr(icnt, ctypes.c_int32),
+        ctypes.c_int(threads or (os.cpu_count() or 1)))
+    if rc < 0:
+        raise RuntimeError(f"native header scan failed: {rc}")
+    return refs[:n], bc[:n], icnt[:n]
 
 
 def bv_decode_range(data: np.ndarray, settings, p: int, x0: int, x1: int,

@@ -1297,6 +1297,74 @@ int64_t wg_bv_scan_refs(const uint8_t* data, int64_t len_bytes,
     return 0;
 }
 
+// Header-only scan like wg_bv_scan_refs, additionally reporting each
+// node's copy-block count and interval count (the full header prefix:
+// outdegree, reference, block count + blocks, interval count —
+// BVGraph.java:995-1059).  Even block counts need the referenced list's
+// LENGTH to size the implicit tail copy, which is a single outdegree read
+// at offsets[x-ref] (no list decode).  The decode-kernel plan uses the
+// per-node maxima to right-size its block/interval scratch sweeps.
+int64_t wg_bv_scan_hdr(const uint8_t* data, int64_t len_bytes,
+                       const int64_t* offsets, int64_t n,
+                       int window_size, int min_interval_length, int zeta_k,
+                       const int* codings, int32_t* refs_out,
+                       int32_t* bc_out, int32_t* icnt_out, int threads) {
+    const int c_out = codings[0], c_ref = codings[1], c_bcnt = codings[2],
+              c_blk = codings[3];
+    if (threads < 1) threads = 1;
+    std::vector<int64_t> errs((size_t)threads, 0);
+    auto work = [&](int t) {
+        const int64_t lo = n * t / threads, hi = n * (t + 1) / threads;
+        BitReader r(data, (size_t)len_bytes);
+        BitReader r2(data, (size_t)len_bytes);
+        for (int64_t x = lo; x < hi; x++) {
+            r.pos = (size_t)offsets[x];
+            const int64_t d = read_coded(r, c_out, zeta_k);
+            if (d < 0) { errs[(size_t)t] = -1; return; }
+            int64_t ref = 0, bc = 0, icnt = 0, copied = 0;
+            if (d > 0) {
+                if (window_size > 0) {
+                    ref = read_coded(r, c_ref, zeta_k);
+                    if (ref < 0 || ref > window_size) {
+                        errs[(size_t)t] = -2; return;
+                    }
+                }
+                if (ref > 0) {
+                    bc = read_coded(r, c_bcnt, zeta_k);
+                    if (bc < 0) { errs[(size_t)t] = -3; return; }
+                    int64_t total = 0;
+                    for (int64_t i = 0; i < bc; i++) {
+                        int64_t b = read_coded(r, c_blk, zeta_k)
+                                    + (i ? 1 : 0);
+                        if (b < 0) { errs[(size_t)t] = -3; return; }
+                        total += b;
+                        if (i % 2 == 0) copied += b;
+                    }
+                    if (bc % 2 == 0) {
+                        r2.pos = (size_t)offsets[x - ref];
+                        copied += read_coded(r2, c_out, zeta_k) - total;
+                    }
+                }
+                if (d - copied > 0 && min_interval_length != 0)
+                    icnt = r.read_gamma();
+            }
+            refs_out[x] = (int32_t)ref;
+            bc_out[x] = (int32_t)bc;
+            icnt_out[x] = (int32_t)icnt;
+        }
+    };
+    if (threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < threads; t++) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    for (int t = 0; t < threads; t++)
+        if (errs[(size_t)t] < 0) return errs[(size_t)t];
+    return 0;
+}
+
 // Fast arc-pair text parse (the scalar hot loop of scattered-arc ingestion,
 // the role ScatteredArcsASCIIGraph.java:600-700's char-level scanner plays).
 // Parses lines of the form "<int64> <int64>[ \t]*" from `buf`; blank lines

@@ -123,6 +123,15 @@ class KernelSpec:
     # burst > 1 (the gv registers).
     lazy_read: int = 1
     sweep_mask: int = 1
+    # quad-batched stream refill: the column is stored word-interleaved
+    # (word 4q+X at row X*R4+q) so ONE R4-row mask fetches 4 consecutive
+    # words per sweep into a 4-word register queue; the per-step refill
+    # serves from the queue (a handful of selects) and the R-row sweep
+    # runs only every (quad_mask+1) steps under a scalar cond — cutting
+    # the measured per-step refill sweep (R rows, ~160 at the operating
+    # point) to ~R/(quad_mask+1) amortized.  0 = off (legacy per-step
+    # col_word sweep).
+    quad_mask: int = 0
 
     def supported(self) -> bool:
         ks = {self.outdegree_coding, self.reference_coding,
@@ -295,9 +304,8 @@ def _make_kernel(spec: KernelSpec):
             r = jnp.sum(jnp.where(m, win_row[:], 0), axis=0)
             return d, r
 
-        def refill(b0, b1, b2, avail, rp, active):
-            need = active & (avail <= 64)
-            w = col_word(rp, need)
+        def _insert(b0, b1, b2, avail, w, need):
+            """Insert word w at bit position avail for lanes in need."""
             k32 = avail >> 5
             r = _u32(avail & 31)
             rr = jnp.where(r > 0, jnp.uint32(32) - r, 1)
@@ -309,8 +317,40 @@ def _make_kernel(spec: KernelSpec):
             b2 = jnp.where(need & (k32 == 1), b2 | w_lo,
                            jnp.where(need & (k32 == 2), b2 | w_hi, b2))
             avail = jnp.where(need, avail + 32, avail)
+            return b0, b1, b2, avail
+
+        def refill(b0, b1, b2, avail, rp, active):
+            need = active & (avail <= 64)
+            w = col_word(rp, need)
+            b0, b1, b2, avail = _insert(b0, b1, b2, avail, w, need)
             rp = jnp.where(need, rp + 1, rp)
             return b0, b1, b2, avail, rp
+
+        QUAD = spec.quad_mask > 0
+        R4 = R // 4
+        if QUAD:
+            rows_Q = jax.lax.broadcasted_iota(jnp.int32, (R4, 8, 128), 0)
+
+            def quad_fetch(qp, en):
+                """Fetch words 4*qp .. 4*qp+3 (interleaved layout: word
+                4q+X at row X*R4+q) with ONE R4-row mask."""
+                m = rows_Q == jnp.where(en, qp, -1)[None]
+                cw = col_ref[:]
+                return [_u32(jnp.sum(jnp.where(m, cw[X * R4:(X + 1) * R4],
+                                               0), axis=0))
+                        for X in range(4)]
+
+            def qserve(b0, b1, b2, avail, q, qn, active):
+                """Serve up to two queued words into the bit buffer."""
+                for _ in range(2):
+                    need = active & (avail <= 64) & (qn > 0)
+                    b0, b1, b2, avail = _insert(b0, b1, b2, avail,
+                                                q[0], need)
+                    q = [jnp.where(need, q[1], q[0]),
+                         jnp.where(need, q[2], q[1]),
+                         jnp.where(need, q[3], q[2]), q[3]]
+                    qn = qn - jnp.where(need, 1, 0)
+                return b0, b1, b2, avail, q, qn
 
         def consume(b0, b1, b2, avail, k):
             k32 = k >> 5
@@ -400,8 +440,17 @@ def _make_kernel(spec: KernelSpec):
         b0, b1, b2 = zu, zu, zu
         avail, rp = zi, zi
         live0 = n_nodes > 0
-        for _ in range(3):
-            b0, b1, b2, avail, rp = refill(b0, b1, b2, avail, rp, live0)
+        if QUAD:
+            q = quad_fetch(zi, live0)
+            qn = jnp.where(live0, 4, 0)
+            qp = jnp.where(live0, 1, 0)
+            for _ in range(2):
+                b0, b1, b2, avail, q, qn = qserve(b0, b1, b2, avail, q, qn,
+                                                  live0)
+        else:
+            for _ in range(3):
+                b0, b1, b2, avail, rp = refill(b0, b1, b2, avail, rp,
+                                               live0)
         b0, b1, b2, avail = consume(b0, b1, b2, avail,
                                     jnp.where(live0, bit0, 0))
 
@@ -419,6 +468,8 @@ def _make_kernel(spec: KernelSpec):
             c_rem=zi, c_idx=zi, krem=zi, bj=zi, c_val=zi,
             iv=zi, ilen_rem=zi, i_next=zi,
             r_rem=d0, r_val=jnp.where(preset, pre_val, 0),
+            **({"q0": q[0], "q1": q[1], "q2": q[2], "q3": q[3],
+                "qn": qn, "qp": qp} if QUAD else {}),
             **{f"sw{k}": zi for k in range(16)},
             **({f"gv{j}": zi for j in range(8)}
                if spec.burst > 1 and W > 0 else {}),
@@ -441,9 +492,34 @@ def _make_kernel(spec: KernelSpec):
             err = g["err"]
 
             # -- refill + stall gate
-            b0, b1, b2, avail, rp = refill(
-                g["b0"], g["b1"], g["b2"], g["avail"], g["rp"],
-                st != ST_DONE)
+            if QUAD:
+                q = [g["q0"], g["q1"], g["q2"], g["q3"]]
+                qn, qp = g["qn"], g["qp"]
+                dof = (g["step"] & spec.quad_mask) == spec.quad_mask
+
+                def _fetch(ops):
+                    q0, q1, q2, q3, qn0, qp0 = ops
+                    en = (st != ST_DONE) & (qn0 == 0)
+                    ws = quad_fetch(qp0, en)
+                    return (jnp.where(en, ws[0], q0),
+                            jnp.where(en, ws[1], q1),
+                            jnp.where(en, ws[2], q2),
+                            jnp.where(en, ws[3], q3),
+                            jnp.where(en, 4, qn0),
+                            jnp.where(en, qp0 + 1, qp0))
+
+                ops = jax.lax.cond(dof, _fetch, lambda o: o,
+                                   (q[0], q[1], q[2], q[3], qn, qp))
+                q = [ops[0], ops[1], ops[2], ops[3]]
+                qn, qp = ops[4], ops[5]
+                b0, b1, b2, avail, q, qn = qserve(
+                    g["b0"], g["b1"], g["b2"], g["avail"], q, qn,
+                    st != ST_DONE)
+                rp = g["rp"]
+            else:
+                b0, b1, b2, avail, rp = refill(
+                    g["b0"], g["b1"], g["b2"], g["avail"], g["rp"],
+                    st != ST_DONE)
             can = (st != ST_DONE) & (avail >= 64)
 
             LAZY = spec.lazy_read and spec.burst > 1 and W > 0
@@ -994,6 +1070,8 @@ def _make_kernel(spec: KernelSpec):
                      ref_len=ref_len, c_rem=c_rem, c_idx=c_idx, krem=krem,
                      bj=bj, c_val=c_val, iv=iv, ilen_rem=ilen_rem,
                      i_next=i_next, r_rem=r_rem, r_val=r_val,
+                     **({"q0": q[0], "q1": q[1], "q2": q[2], "q3": q[3],
+                         "qn": qn, "qp": qp} if QUAD else {}),
                      **{f"sw{k}": stw[k] for k in range(16)},
                      **(gvu if EB > 1 and W > 0 else {}),
                      **({"cur_g": cur_g_n, "cur_imm": cur_imm_n,
@@ -1472,6 +1550,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
                        res_burst: int = 4,
                        node_base: int = 0, first_node: int = 0,
                        hub_device: bool = True,
+                       quad_mask: Optional[int] = None,
                        ) -> Optional[PreparedDecode]:
     """Build the lane-chunk plan.  Returns None if the config/scale is
     outside the kernel's envelope (caller falls back).
@@ -1553,21 +1632,66 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     # max_ref_count+1 passes reach a fixpoint), and hub merge positions are
     # derived from a device argsort at the fixpoint.
     cold = halo_csr is None
+    hdr_bc = hdr_icnt = None
+    from .. import native as _native
     if cold:
         if node_base:
             raise ValueError("sliced plans (node_base != 0) need an "
                              "explicit halo_csr")
-        from .. import native as _native
         if not _native.available():
             return None
-        if refs is None and W > 0:
-            refs = _native.bv_scan_refs(data, offsets[:n + 1], settings)
         hco = hsu = None
     else:
         hco, hsu = halo_csr
+    if W > 0 and _native.available():
+        hdr = _native.bv_scan_hdr(data, offsets[:n + 1], settings)
+        if hdr is not None:
+            sc_refs, hdr_bc, hdr_icnt = hdr
+            if refs is None:
+                refs = sc_refs
+        elif cold and refs is None:
+            refs = _native.bv_scan_refs(data, offsets[:n + 1], settings)
     _tr('halo source')
     if refs is not None:
         refs = np.asarray(refs)
+
+    # scratch right-sizing + heavy-header routing.  Every blkbuf/intbuf
+    # access is a masked sweep over BMAX/IMAX rows PER STEP (twice with
+    # hdr_fuse), so shrinking 32->16/8 removes ~200 row-ops from the
+    # step.  Header counts are heavy-tailed (cnr-2000: bc max 311 but
+    # only 0.07% of nodes above 16), so the sizes are chosen to cover
+    # all but <=0.1% of nodes and the rare oversize nodes are routed
+    # through the hub/preset-lane path as forced single-node chunks —
+    # still device-decoded, no scratch needed (preset lanes skip header
+    # states; hub assembly resolves blocks/intervals from the plan).
+    heavy_mask = None
+    if (hdr_bc is not None and hub_device and node_base == 0
+            and _os.environ.get("WG_HEAVY_ROUTE", "1") != "0"):
+        lim = max(64, n // 1000)
+
+        def _qbucket(vals, cap, lo=4):
+            b = lo
+            while b < cap and int((vals > b).sum()) > lim:
+                b *= 2
+            return b
+
+        bmax = _qbucket(hdr_bc, bmax)
+        imax = _qbucket(hdr_icnt, imax)
+        heavy = np.flatnonzero((hdr_bc > bmax) | (hdr_icnt > imax))
+        heavy = heavy[heavy >= first_node]
+        if len(heavy):
+            heavy_mask = np.zeros(n, dtype=bool)
+            heavy_mask[heavy] = True
+            ins = np.unique(np.concatenate([heavy, heavy + 1]))
+            nb = np.unique(np.concatenate([bounds, ins]))
+            Lp = len(nb) - 1
+            L = ((Lp + 1023) // 1024) * 1024
+            bounds = np.full(L + 1, n, dtype=np.int64)
+            bounds[0] = first_node
+            bounds[1:Lp + 1] = nb[1:]
+            starts = bounds[:L]
+            ends = bounds[1:]
+    _tr('scratch sizing')
 
     # first pass: find envelope violators, split them adaptively
     _, _, nwords, need_v = _chunk_needs(starts, ends, offsets, cum, outd,
@@ -1603,6 +1727,9 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     start_bits = offsets[starts]
     w0 = start_bits >> 5
     skipped = (~empty) & ((need_v > v_cap) | (nwords > r_cap - 2))
+    if heavy_mask is not None:
+        skipped = skipped | ((ends - starts == 1)
+                             & heavy_mask[np.minimum(starts, n - 1)])
     active = (~empty) & ~skipped
     _tr('chunk needs')
 
@@ -1656,6 +1783,11 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
     T = L_tot // 1024
     _tr('hub parse')
 
+    if quad_mask is None:
+        quad_mask = int(_os.environ.get("WG_QUAD_MASK", "3"))
+    if quad_mask:
+        R = (R + 3) & ~3  # whole quads for the interleaved fetch
+
     spec = KernelSpec(
         window_size=W,
         min_interval_length=settings.min_interval_length,
@@ -1672,6 +1804,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         unroll=(unroll if unroll is not None
                 else (4 if jax.default_backend() == "tpu" else 1)),
         flush_mode=_os.environ.get("WG_FLUSH_MODE", "mstore"),
+        quad_mask=quad_mask,
     )
     if not spec.supported():
         return None
@@ -1808,7 +1941,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         jnp.asarray(words.view(np.int32)),
         jnp.asarray(w0_all.astype(np.int32)),
         jnp.asarray(nw_all), jnp.asarray(meta),
-        T=T, R=R, V=V, NMETA=NMETA)
+        T=T, R=R, V=V, NMETA=NMETA, quad=bool(quad_mask))
     _tr('stage device')
 
     # per-lane expectations (check_diag) + the hub assembly plan
@@ -1850,8 +1983,9 @@ def _stage_init(hdst4, hval, *, T, V):
             .reshape(T, V // 8, 8, 8, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("T", "R", "V", "NMETA"))
-def _stage_device(words, w0, nw, meta, *, T, R, V, NMETA):
+@functools.partial(jax.jit,
+                   static_argnames=("T", "R", "V", "NMETA", "quad"))
+def _stage_device(words, w0, nw, meta, *, T, R, V, NMETA, quad=False):
     """Expand compact plan inputs into the kernel's tiled lane arrays
     (stream columns + meta tiles).
 
@@ -1869,7 +2003,14 @@ def _stage_device(words, w0, nw, meta, *, T, R, V, NMETA):
                         words[jnp.clip(widx, 0, max(nwords_tot - 1, 0))]
                         if nwords_tot else jnp.zeros((), jnp.int32), 0)
         meta_t = sl(meta).T.reshape(NMETA, 8, 128)
-        col_t = col.T.reshape(R, 8, 128)
+        if quad:
+            # word-interleaved rows for the kernel's quad fetch:
+            # word 4q+X of a lane lands at row X*(R//4)+q
+            col = (col.reshape(1024, R // 4, 4).transpose(2, 1, 0)
+                   .reshape(R, 1024))
+            col_t = col.reshape(R, 8, 128)
+        else:
+            col_t = col.T.reshape(R, 8, 128)
         return meta_t, col_t
 
     return jax.lax.map(tile, jnp.arange(T, dtype=jnp.int32))
