@@ -76,3 +76,52 @@ def test_compact_long_single_run():
                          store_elems=V)
     got = np.asarray(KC.compact(cp, jnp.asarray(lm), 8192, interpret=True))
     np.testing.assert_array_equal(got, np.arange(64, 64 + 8192))
+
+
+def test_compact_hub_runs_two_windows():
+    """Hub runs merged into the tables: some chunk runs are invalid (hub
+    gaps) and hub runs tile them with sources in a FAR region of the store
+    (the preset-lane analogue), forcing the second DMA window.  Sources
+    past the store (static interval values) stay invalid."""
+    rng = np.random.default_rng(7)
+    R, V = 96, 1024
+    arc_start, src0, m, lm, exp = _random_layout(rng, R, V, 700)
+    if m == 0:
+        return
+    valid = np.ones(R, dtype=bool)
+    # mark every 5th run as a hub gap; tile each gap with short hub runs
+    # sourced from the store tail region (emulating preset lanes)
+    store = R * V
+    far0 = store - 9000
+    hd, hs = [], []
+    exp2 = exp.copy()
+    nxt = far0
+    for i in range(0, R, 5):
+        valid[i] = False
+        a, b = int(arc_start[i]), int(arc_start[i + 1])
+        p = a
+        while p < b:
+            ln = min(int(rng.integers(1, 7)), b - p)
+            if rng.random() < 0.2:
+                # static-value run: source past the store -> stays invalid
+                hd.append(p)
+                hs.append(store + 10_000 + p)
+                exp2[p:p + ln] = -1          # caller-spliced
+            else:
+                hd.append(p)
+                hs.append(nxt)
+                exp2[p:p + ln] = lm[nxt:nxt + ln]
+            nxt += ln
+            p += ln
+    assert nxt <= store
+    cp = KC.plan_compact(arc_start, src0, valid, m, store_elems=store,
+                         hub_runs=(np.asarray(hd, dtype=np.int64),
+                                   np.asarray(hs, dtype=np.int64)))
+    assert cp is not None
+    got = np.asarray(KC.compact(cp, jnp.asarray(lm), m, interpret=True))
+    keep = exp2 != -1
+    if cp.fb_dst is not None:
+        keep[np.asarray(cp.fb_dst)] = False
+    np.testing.assert_array_equal(got[keep], exp2[keep])
+    # the far sources must have engaged window B in at least one block
+    assert cp.WRB > 0

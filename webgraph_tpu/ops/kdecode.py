@@ -1184,6 +1184,10 @@ class HubPlan:
     # lane-major store source (or >= T*1024*V: index into int_table)
     src_final: Optional[jnp.ndarray] = None
     int_table: Optional[jnp.ndarray] = None
+    # interval hub arcs sorted by final hub rank (static values): the
+    # compact CSR path splices them directly each decode
+    int_rank_sorted: Optional[jnp.ndarray] = None
+    int_vals_sorted: Optional[jnp.ndarray] = None
 
 
 def _tiled_flat(lane, row, V):
@@ -2256,6 +2260,12 @@ def finalize_hub(prep: PreparedDecode, out_cols) -> None:
         sf = sf.at[rank[slot]].set(sf[src])
     hub.src_final = sf
     hub.int_table = int_vals
+    # interval hub arcs are STATIC values (left+j, independent of the
+    # decode): keep them as a sorted (hub-rank, value) pair so the
+    # compact CSR path can splice them once per decode instead of
+    # carrying the interval table past the store
+    hub.int_rank_sorted = d_int[o]
+    hub.int_vals_sorted = int_vals[o]
     hub.finalized = True
 
 
@@ -2756,6 +2766,44 @@ def _csr_hub_composed(succ, dst, src, lm, int_table, SE: int):
                             unique_indices=True)
 
 
+@jax.jit
+def _run_bound_count(dst, sf):
+    b = (dst[1:] != dst[:-1] + 1) | (sf[1:] != sf[:-1] + 1)
+    return jnp.sum(b) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _run_table_dev(dst, sf, size: int):
+    b = jnp.concatenate([jnp.ones((1,), bool),
+                         (dst[1:] != dst[:-1] + 1)
+                         | (sf[1:] != sf[:-1] + 1)])
+    # fill pads with index M-1: an artificial boundary only SPLITS an
+    # existing run (dst[i], sf[i] continue it), which preserves the
+    # piecewise mapping
+    idx = jnp.nonzero(b, size=size, fill_value=dst.shape[0] - 1)[0]
+    return jnp.take(dst, idx), jnp.take(sf, idx)
+
+
+def _hub_run_table(prep: PreparedDecode):
+    """Piecewise (dst0, src0) runs of the composed hub source map, for
+    merging hub arcs into the compaction tables.  Detected on device (the
+    rank permutation is device data), downloaded as a compact run table.
+    Returns None when the map is too fragmented to be worth merging."""
+    hub = prep.hub
+    dst = prep.csr_hub_dst
+    sf = hub.src_final
+    M = int(dst.shape[0])
+    if M < 2:
+        return None
+    nruns = int(_run_bound_count(dst, sf))
+    if nruns > max(1 << 16, M // 3):
+        return None
+    size = 1 << int(np.ceil(np.log2(max(nruns, 1024))))
+    d0, s0 = _run_table_dev(dst, sf, size=min(size, M))
+    return (np.asarray(d0).astype(np.int64),
+            np.asarray(s0).astype(np.int64))
+
+
 def plan_csr_index(prep: PreparedDecode, force_gather: bool = False
                    ) -> None:
     """Precompute the device-resident flat-CSR assembly index (one gather
@@ -2818,13 +2866,20 @@ def plan_csr_index(prep: PreparedDecode, force_gather: bool = False
         c_hub = np.searchsorted(prep.chunk_starts, hub.nodes,
                                 side="right") - 1
         valid[c_hub] = False
+    hub_runs = None
+    if hub is not None and hub.src_final is not None:
+        hub_runs = _hub_run_table(prep)
     cp = KC.plan_compact(arc64, src0, valid, prep.m,
-                         store_elems=T * 1024 * V)
-    if cp is not None and cp.fb_dst is not None:
-        lane_f = np.searchsorted(arc64, cp.fb_dst, side="right") - 1
-        cp.fb_idx = jnp.asarray(
-            (src0[lane_f] + (cp.fb_dst - arc64[lane_f])).astype(np.int32))
-        cp.fb_dst = jnp.asarray(cp.fb_dst.astype(np.int32))
+                         store_elems=T * 1024 * V, hub_runs=hub_runs)
+    if cp is not None:
+        cp.has_hub = hub_runs is not None
+        if cp.fb_dst is not None:
+            cp.fb_idx = jnp.asarray(cp.fb_idx.astype(np.int32))
+            cp.fb_dst = jnp.asarray(cp.fb_dst.astype(np.int32))
+        if cp.has_hub:
+            # static interval hub arcs: spliced after each compact pass
+            cp.int_dst = jnp.take(prep.csr_hub_dst, hub.int_rank_sorted)
+            cp.int_val = hub.int_vals_sorted
     prep.csr_compact = cp
 
 
@@ -2871,12 +2926,17 @@ def decode_to_csr(prep: PreparedDecode, interpret: Optional[bool] = None,
             if hv is not None:
                 succ = _csr_splice(succ, prep.csr_hub_dst, hv)
             elif composed:
-                # hub arcs straight from the composed source map: no hub
-                # assembly pipeline at all on the compact path
-                succ = _csr_hub_composed(
-                    succ, prep.csr_hub_dst, prep.hub.src_final, lm,
-                    prep.hub.int_table,
-                    SE=prep.spec.T * 1024 * prep.spec.V)
+                if getattr(cp, "has_hub", False):
+                    # hub arcs were merged into the compaction tables;
+                    # only the static interval values remain to splice
+                    succ = _csr_splice(succ, cp.int_dst, cp.int_val)
+                else:
+                    # hub arcs straight from the composed source map: no
+                    # hub assembly pipeline at all on the compact path
+                    succ = _csr_hub_composed(
+                        succ, prep.csr_hub_dst, prep.hub.src_final, lm,
+                        prep.hub.int_table,
+                        SE=prep.spec.T * 1024 * prep.spec.V)
             return succ
         if composed:
             return _csr_gather_composed(o, prep.csr_idx4,
