@@ -2160,6 +2160,45 @@ def _rank_of(ord_rep, un):
 
 
 @jax.jit
+def _order_of(ord_rep, un):
+    """order[k] = unsorted slot of the k-th final merge position."""
+    M = un.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    _, order = _sort2(ord_rep, un, idx)
+    return order
+
+
+@functools.partial(jax.jit, static_argnames=("sizes",))
+def _component_pairs(order, slots, srcs, sizes):
+    """Per-component sorted (dst, src) pairs from ONE sort.
+
+    Each unsorted slot belongs to exactly one component ([copies |
+    intervals | residuals] static layout); tagging slots and gathering
+    the tags through ``order`` turns every per-component argsort of the
+    old finalize (3-4 argsorts of ~M keys, the measured bulk of
+    finalize_hub) into a masked extraction.  ``sizes`` are pow2-bucketed
+    counts: padded entries get dst = M and drop in the consumers'
+    scatters."""
+    M = order.shape[0]
+    tag = jnp.zeros((M,), jnp.int32)
+    sv = jnp.zeros((M,), jnp.int32)
+    for c, (sl, sr) in enumerate(zip(slots, srcs)):
+        tag = tag.at[sl].set(c + 1, mode="drop", indices_are_sorted=True,
+                             unique_indices=True)
+        sv = sv.at[sl].set(sr, mode="drop", indices_are_sorted=True,
+                           unique_indices=True)
+    tag_s = jnp.take(tag, order)
+    src_s = jnp.take(sv, order)
+    outs = []
+    for c, kpad in enumerate(sizes):
+        idx = jnp.nonzero(tag_s == c + 1, size=kpad,
+                          fill_value=M)[0].astype(jnp.int32)
+        sc = jnp.take(src_s, jnp.minimum(idx, M - 1))
+        outs.append((idx, sc))
+    return outs
+
+
+@jax.jit
 def _sorted_pair(dst, src):
     """Reorder a (dst, src) index pair by ascending dst so the assembly
     scatter lowers as a sorted unique update."""
@@ -2224,19 +2263,30 @@ def finalize_hub(prep: PreparedDecode, out_cols) -> None:
                        slot_res, src_cop0, slot_cop0,
                        ord_rep, rs, rt, n_rounds=len(rs),
                        Lt=hub.seg_lane0 // 1024)
-    rank = _rank_of(ord_rep, un)
-    d_int = rank[int_slots]
-    o = jnp.argsort(d_int)
+    order = _order_of(ord_rep, un)       # the ONE finalize sort
+
+    def _bucket(k):
+        return 1 << max(int(np.ceil(np.log2(max(k, 1)))), 4)
+
+    n_int = int(int_ln.sum())
+    comp_slots = (slot_res, slot_cop0, int_slots) \
+        + tuple(slot for _, _, slot in rounds)
+    comp_srcs = (src_res, src_cop0,
+                 jnp.arange(n_int, dtype=jnp.int32)) \
+        + tuple(src for _, src, _ in rounds)
+    sizes = tuple(_bucket(int(s.shape[0])) for s in comp_srcs)
+    pairs = _component_pairs(order, comp_slots, comp_srcs, sizes=sizes)
+    (hub.dst_res, hub.src_res), (hub.dst_cop0, hub.src_cop0), \
+        (dst_int, src_int) = pairs[0], pairs[1], pairs[2]
+    hub.cop_rounds = [(d, p[1], p[0])
+                      for (d, _, _), p in zip(rounds, pairs[3:])]
+    iv_safe = int_vals if n_int else jnp.zeros((1,), jnp.int32)
+    int_vals_s = jnp.take(iv_safe, jnp.minimum(src_int,
+                                               max(n_int - 1, 0)))
     hub.hub_init = (jnp.zeros((M,), jnp.int32)
-                    .at[d_int[o]].set(int_vals[o], mode="drop",
-                                      indices_are_sorted=True,
-                                      unique_indices=True))
-    hub.dst_res, hub.src_res = _sorted_pair(rank[slot_res], src_res)
-    hub.dst_cop0, hub.src_cop0 = _sorted_pair(rank[slot_cop0], src_cop0)
-    hub.cop_rounds = []
-    for (d, src, slot) in rounds:
-        dst, src2 = _sorted_pair(rank[slot], src)
-        hub.cop_rounds.append((d, src2, dst))
+                    .at[dst_int].set(int_vals_s, mode="drop",
+                                     indices_are_sorted=True,
+                                     unique_indices=True))
 
     # composed source map: every FINAL hub position's ultimate source as a
     # lane-major store position (residual segments live in preset lanes of
@@ -2250,22 +2300,23 @@ def finalize_hub(prep: PreparedDecode, out_cols) -> None:
     src_cop0_lm = _expand_device(
         jnp.asarray(src0_pair[m0].astype(np.int32)), jnp.asarray(c0),
         total=int(c0[-1]))
-    n_int = int(int_ln.sum())
-    sf = jnp.zeros((M,), jnp.int32)
-    sf = sf.at[rank[slot_res]].set(src_res_lm)
-    sf = sf.at[rank[slot_cop0]].set(src_cop0_lm)
-    sf = sf.at[rank[int_slots]].set(
+    sfv = jnp.zeros((M,), jnp.int32)
+    sfv = sfv.at[slot_res].set(src_res_lm)
+    sfv = sfv.at[slot_cop0].set(src_cop0_lm)
+    sfv = sfv.at[int_slots].set(
         Ltot_v + jnp.arange(n_int, dtype=jnp.int32))
-    for (d, src, slot) in rounds:
-        sf = sf.at[rank[slot]].set(sf[src])
+    sf = jnp.take(sfv, order)            # slot space -> rank space
+    for _, src2, dst in hub.cop_rounds:
+        sf = sf.at[dst].set(jnp.take(sf, jnp.minimum(src2, M - 1)),
+                            mode="drop")
     hub.src_final = sf
     hub.int_table = int_vals
     # interval hub arcs are STATIC values (left+j, independent of the
     # decode): keep them as a sorted (hub-rank, value) pair so the
     # compact CSR path can splice them once per decode instead of
     # carrying the interval table past the store
-    hub.int_rank_sorted = d_int[o]
-    hub.int_vals_sorted = int_vals[o]
+    hub.int_rank_sorted = dst_int
+    hub.int_vals_sorted = int_vals_s
     hub.finalized = True
 
 
@@ -2877,8 +2928,13 @@ def plan_csr_index(prep: PreparedDecode, force_gather: bool = False
             cp.fb_idx = jnp.asarray(cp.fb_idx.astype(np.int32))
             cp.fb_dst = jnp.asarray(cp.fb_dst.astype(np.int32))
         if cp.has_hub:
-            # static interval hub arcs: spliced after each compact pass
-            cp.int_dst = jnp.take(prep.csr_hub_dst, hub.int_rank_sorted)
+            # static interval hub arcs: spliced after each compact pass.
+            # bucket-padded entries (rank == M) map to dst m and drop.
+            ir = hub.int_rank_sorted
+            M_h = int(prep.csr_hub_dst.shape[0])
+            cp.int_dst = jnp.where(
+                ir >= M_h, jnp.int32(min(prep.m, (1 << 31) - 1)),
+                jnp.take(prep.csr_hub_dst, jnp.minimum(ir, M_h - 1)))
             cp.int_val = hub.int_vals_sorted
     prep.csr_compact = cp
 
