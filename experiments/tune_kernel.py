@@ -37,7 +37,8 @@ def run(cfg, data, offsets, n, m, settings, oracle):
         target_arcs_per_lane=cfg.get("ta", 128), v_cap=cfg.get("vc", 256),
         r_cap=cfg.get("rc", 96), bmax=cfg.get("bm", 32),
         imax=cfg.get("im", 32), unroll=cfg.get("un"),
-        burst=cfg.get("bu", 4))
+        burst=cfg.get("bu", 4), res_burst=cfg.get("rb", 4),
+        quad_mask=cfg.get("qm"))
     plan_s = time.time() - t0
     if prep is None:
         return dict(cfg=cfg, error="no plan")
@@ -81,6 +82,8 @@ def run(cfg, data, offsets, n, m, settings, oracle):
     tot_steps = int(steps.sum())
     return dict(cfg=cfg, plan_s=round(plan_s, 1),
                 T=prep.spec.T, V=prep.spec.V, R=prep.spec.R,
+                BM=prep.spec.BMAX, IM=prep.spec.IMAX,
+                QM=prep.spec.quad_mask,
                 steps=tot_steps,
                 ns_step=round(sorted(dev_s)[1] / max(tot_steps, 1) * 1e9, 1),
                 depth=depth,

@@ -96,7 +96,15 @@ def _make_kernel(WRA: int, WRB: int):
             buf[pl.ds(srow, 8), :] = bjk
             return 0
 
-        lax.fori_loop(0, w0_ref[0, 0, 2], seg, 0)
+        import os as _os
+        if _os.environ.get("WG_COMPACT_UNROLL"):  # diagnostic
+            nseg = w0_ref[0, 0, 2]
+            for l in range(SMAX):
+                @pl.when(l < nseg)
+                def _(l=l):
+                    seg(l, 0)
+        else:
+            lax.fori_loop(0, w0_ref[0, 0, 2], seg, 0)
         out_ref[...] = buf[:OUTROWS]
 
     return kernel
@@ -224,7 +232,11 @@ def plan_compact(arc_start: np.ndarray, src0: np.ndarray,
     span_a = ((row - w0a[blk]) & ~np.int64(7)) + 16
     in_a = ~neg & (span_a <= max_wr)
 
+    import os as _os
+    _one_win = bool(_os.environ.get("WG_COMPACT_1WIN"))
     in_b = ~neg & ~in_a
+    if _one_win:    # diagnostic: no window B, b-entries fall back
+        in_b[:] = False
     w0b = np.full(NB, np.iinfo(np.int64).max, dtype=np.int64)
     if in_b.any():
         np.minimum.at(w0b, blk[in_b], row[in_b])
@@ -232,7 +244,8 @@ def plan_compact(arc_start: np.ndarray, src0: np.ndarray,
     haveb[blk[in_b]] = True
     w0b[~haveb] = 0
     span_b = ((row - w0b[blk]) & ~np.int64(7)) + 16
-    bad_entry = neg | (in_b & (span_b > max_wr))
+    bad_entry = neg | (in_b & (span_b > max_wr)) \
+        | (_one_win & ~neg & ~in_a)
 
     # entry index within block + per-block caps
     eib = np.arange(len(blk), dtype=np.int64) - np.searchsorted(

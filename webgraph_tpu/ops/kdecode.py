@@ -1647,7 +1647,7 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         hco = hsu = None
     else:
         hco, hsu = halo_csr
-    if W > 0 and _native.available():
+    if W > 0 and _native.available() and (cold or __import__('os').environ.get('WG_HDR_WARM','1')!='0'):
         hdr = _native.bv_scan_hdr(data, offsets[:n + 1], settings)
         if hdr is not None:
             sc_refs, hdr_bc, hdr_icnt = hdr
@@ -1866,7 +1866,10 @@ def plan_kernel_decode(offsets: np.ndarray, outdegrees: np.ndarray,
         dy = np.where(needed[:, :W] & in_rng, outd[ysc], 0)
         # h[i, j] = sum of dy over j' > j (ascending-y exclusive prefix)
         h = np.cumsum(dy[:, ::-1], axis=1)[:, ::-1] - dy
-        slot = (ysc % CYC).astype(np.int64)
+        # window slots are keyed by GLOBAL node id (the kernel computes
+        # (x - ref) % CYC with x = starts + node_base): local keying
+        # desyncs sliced plans whose node_base % CYC != 0
+        slot = ((ysc + node_base) % CYC).astype(np.int64)
         for j in range(W):
             v = in_rng[:, j]
             # outdegree preload for every in-range window slot (parses need
@@ -2817,6 +2820,30 @@ def _csr_hub_composed(succ, dst, src, lm, int_table, SE: int):
                             unique_indices=True)
 
 
+def _pow2_bucket(k: int, lo: int = 1024) -> int:
+    b = lo
+    while b < k:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("SE", "m", "size"))
+def _int_splice_from_sf(hd, sf, int_table, SE: int, m: int, size: int):
+    """Sorted (csr position, value) pairs of the static interval hub arcs,
+    read straight off the composed source map (src >= SE = index into the
+    interval table).  Bucket-padded; pads map to dst m and drop."""
+    M = sf.shape[0]
+    k = jnp.nonzero(sf >= SE, size=size, fill_value=M)[0]
+    ok = k < M
+    kc = jnp.minimum(k, M - 1)
+    dst = jnp.where(ok, jnp.take(hd, kc),
+                    jnp.int32(min(m, (1 << 31) - 1)))
+    val = jnp.take(int_table,
+                   jnp.clip(jnp.take(sf, kc) - SE, 0,
+                            int_table.shape[0] - 1))
+    return dst, val
+
+
 @jax.jit
 def _run_bound_count(dst, sf):
     b = (dst[1:] != dst[:-1] + 1) | (sf[1:] != sf[:-1] + 1)
@@ -2929,13 +2956,25 @@ def plan_csr_index(prep: PreparedDecode, force_gather: bool = False
             cp.fb_dst = jnp.asarray(cp.fb_dst.astype(np.int32))
         if cp.has_hub:
             # static interval hub arcs: spliced after each compact pass.
-            # bucket-padded entries (rank == M) map to dst m and drop.
-            ir = hub.int_rank_sorted
-            M_h = int(prep.csr_hub_dst.shape[0])
-            cp.int_dst = jnp.where(
-                ir >= M_h, jnp.int32(min(prep.m, (1 << 31) - 1)),
-                jnp.take(prep.csr_hub_dst, jnp.minimum(ir, M_h - 1)))
-            cp.int_val = hub.int_vals_sorted
+            # Derived straight from the composed source map (src >= SE
+            # marks an interval-table entry), the same artifact the
+            # bit-exact gather path consumes; bucket-padded entries map
+            # to dst m and drop.
+            # NOTE: the static-value positions are MORE than the direct
+            # interval slots — depth-round copies whose transitive source
+            # is an interval arc also carry sf >= SE (the composed map
+            # resolves them to the table).  Size by the actual count.
+            SE = prep.spec.T * 1024 * prep.spec.V
+            n_int = int(hub.int_table.shape[0]) \
+                if hub.int_table is not None else 0
+            n_se = int(jnp.sum(hub.src_final >= SE)) if n_int else 0
+            if n_se:
+                cp.int_dst, cp.int_val = _int_splice_from_sf(
+                    prep.csr_hub_dst, hub.src_final, hub.int_table,
+                    SE=SE, m=prep.m, size=_pow2_bucket(n_se))
+            else:
+                cp.int_dst = jnp.zeros(0, jnp.int32)
+                cp.int_val = jnp.zeros(0, jnp.int32)
     prep.csr_compact = cp
 
 
