@@ -2969,9 +2969,14 @@ def plan_csr_index(prep: PreparedDecode, force_gather: bool = False
                 if hub.int_table is not None else 0
             n_se = int(jnp.sum(hub.src_final >= SE)) if n_int else 0
             if n_se:
+                # 256k-quantized size: pow2 padding can double the
+                # per-decode splice work (pads still scatter+drop)
+                G = 1 << 18
+                size = min(-(-n_se // G) * G,
+                           int(hub.src_final.shape[0]))
                 cp.int_dst, cp.int_val = _int_splice_from_sf(
                     prep.csr_hub_dst, hub.src_final, hub.int_table,
-                    SE=SE, m=prep.m, size=_pow2_bucket(n_se))
+                    SE=SE, m=prep.m, size=size)
             else:
                 cp.int_dst = jnp.zeros(0, jnp.int32)
                 cp.int_val = jnp.zeros(0, jnp.int32)
