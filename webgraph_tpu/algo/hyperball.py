@@ -184,9 +184,25 @@ class DenseRoundPlan:
         self.classes = []
         succ_dev = succ_dev.astype(jnp.int32)
 
-        def add_class(width, rows, starts, lens):
+        def add_class(width, rows, starts, lens, subw=32):
+            """One class entry: rows of ``width`` lanes, ``32 // subw``
+            nodes PACKED per 32-lane block (subw < 32 packs several small
+            nodes into one gather row — the dominant cost is padded rows
+            gathered, and sub-32-degree nodes are the bulk of a web
+            graph).  Dummy pad slots get row id n (scatter mode=drop) and
+            zero length (sentinel targets gather neutral zeros)."""
             if not len(rows):
                 return
+            p = 32 // subw
+            if p > 1:
+                pad = (-len(rows)) % p
+                if pad:
+                    rows = np.concatenate([rows, np.full(pad, n,
+                                                         rows.dtype)])
+                    starts = np.concatenate([starts,
+                                             np.zeros(pad, starts.dtype)])
+                    lens = np.concatenate([lens,
+                                           np.zeros(pad, lens.dtype)])
             # flat padded target index (pad -> sentinel n: OOB fill-gather
             # yields all-zero register rows, neutral for max).  Everything
             # stays 1-D or (X, R/4): small-minor 3-D intermediates get
@@ -194,16 +210,23 @@ class DenseRoundPlan:
             tgt = _build_class_tgt(
                 succ_dev, jnp.asarray(starts.astype(np.int32)),
                 jnp.asarray(lens.astype(np.int32)),
-                logw=int(np.log2(width)), n=n,
-                total=len(rows) * width)
-            self.classes.append((width, jnp.asarray(rows.astype(np.int32)),
-                                 tgt))
+                logw=int(np.log2(subw if p > 1 else width)), n=n,
+                total=len(rows) * (subw if p > 1 else width))
+            rows_h = tuple(jnp.asarray(rows[h::p].astype(np.int32))
+                           for h in range(p))
+            self.classes.append((width, p, subw, rows_h, tgt))
 
-        # classes below width 32 are padded UP to 32: any (big, <128)
-        # device array risks a 8-32x padded T(8,128) layout copy
-        # (measured OOM at uk scale), so every class works in (R4, X)
-        # transposed form with widths >= 32
-        sel = np.flatnonzero(nz & (cls <= 5))
+        # classes below width 32 are padded UP to a 32-lane block: any
+        # (big, <128) device array risks a 8-32x padded T(8,128) layout
+        # copy (measured OOM at uk scale), so every class works in
+        # (R4, X) transposed form with 32-lane rows — but degree <= 8 /
+        # <= 16 nodes PACK 4 / 2 per row (the un-packed width-32 class
+        # measured 2.33x row padding at uk scale, 537M of 721M rows)
+        sel = np.flatnonzero(nz & (deg <= 8))
+        add_class(32, sel, co[sel], deg[sel], subw=8)
+        sel = np.flatnonzero(nz & (deg > 8) & (deg <= 16))
+        add_class(32, sel, co[sel], deg[sel], subw=16)
+        sel = np.flatnonzero(nz & (deg > 16) & (cls <= 5))
         add_class(32, sel, co[sel], deg[sel])
         for c in range(6, max_class):
             sel = np.flatnonzero(nz & (cls == c))
@@ -235,28 +258,38 @@ class DenseRoundPlan:
         R4 = packed.shape[1]
         packed_t = packed.T                     # (R4, n): one relayout
         out = packed
-        for width, rows, tgt in self.classes:
-            k = int(tgt.shape[0]) // width
-            step_k = max(1, self.CHUNK_FLAT // width)
+        for width, p, subw, rows_h, tgt in self.classes:
+            roww = subw if p > 1 else width     # lanes gathered per slot
+            k = int(tgt.shape[0]) // roww       # slots
+            step_k = max(p, (self.CHUNK_FLAT // roww) // p * p)
             for lo in range(0, k, step_k):
                 hi = min(lo + step_k, k)
-                kk = hi - lo
-                # (R4, kk, width) gather along the node axis, reduction
-                # by last-dim halving: (w, r) pairs with (w + width/2, r)
-                # — max is commutative so any pairing tree is exact
-                g = jnp.take(packed_t, tgt[lo * width:hi * width], axis=1,
+                kk = (hi - lo) // p if p > 1 else hi - lo
+                # (R4, kk, width) gather along the node axis; tree-reduce
+                # by contiguous halving down to 32 lanes, then a
+                # rotate-reduce (shifts subw/2..1) that never leaves a
+                # lane's subw-block — max is commutative so any pairing
+                # tree is exact, sub-32 minors never materialize, and
+                # with p > 1 lanes h*subw hold the h-th packed node's max
+                g = jnp.take(packed_t, tgt[lo * roww:hi * roww], axis=1,
                              mode="fill", fill_value=0)
-                g = g.reshape(R4, kk, width)
-                c = width
-                while c > 1:
+                g = g.reshape(R4, kk, 32 if p > 1 else width)
+                c = width if p == 1 else 32
+                while c > 32:
                     half = c // 2
                     g = _swar_max(g[:, :, :half], g[:, :, half:])
                     c = half
-                merged = g[:, :, 0].T           # (kk, R4)
-                rs = rows[lo:hi]
-                out = out.at[rs].set(
-                    _swar_max(merged, jnp.take(out, rs, axis=0)),
-                    mode="drop")
+                sh = subw // 2
+                while sh >= 1:
+                    g = _swar_max(g, jnp.roll(g, -sh, axis=2))
+                    sh //= 2
+                for h in range(p):
+                    merged = g[:, :, h * subw].T       # (kk, R4)
+                    rs = rows_h[h][lo // p:hi // p] if p > 1 \
+                        else rows_h[0][lo:hi]
+                    out = out.at[rs].set(
+                        _swar_max(merged, jnp.take(out, rs, axis=0)),
+                        mode="drop")
         return out
 
 
